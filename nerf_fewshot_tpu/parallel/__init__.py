@@ -1,0 +1,10 @@
+"""Device mesh, sharding, and multi-host scaling utilities."""
+
+from nerf_fewshot_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    data_parallel_train_step,
+)
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_train_step"]

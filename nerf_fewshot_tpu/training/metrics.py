@@ -1,0 +1,115 @@
+"""Image-quality metrics: PSNR and SSIM in pure jnp; LPIPS optionally via a
+host-side torch module when pretrained VGG weights are locally available.
+
+The reference evaluates with torchmetrics ``PeakSignalNoiseRatio`` /
+``StructuralSimilarityIndexMeasure`` and ``lpips.LPIPS(net='vgg')``
+(reference: src/training/train.py:99-101, 321-329, inputs scaled to [-1,1]
+for LPIPS). SSIM here follows the same defaults torchmetrics uses: 11×11
+gaussian window, sigma 1.5, k1=0.01, k2=0.03.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def psnr(
+    pred: jnp.ndarray, target: jnp.ndarray, data_range: Optional[float] = 1.0
+) -> jnp.ndarray:
+    """Peak signal-to-noise ratio.
+
+    ``data_range=None`` estimates the range from the data the way
+    torchmetrics does when constructed without one (max-min over the union of
+    pred and target).
+    """
+    if data_range is None:
+        data_range = jnp.maximum(pred.max(), target.max()) - jnp.minimum(
+            pred.min(), target.min()
+        )
+    mse = jnp.mean((pred - target) ** 2)
+    return 10.0 * jnp.log10(data_range**2 / jnp.maximum(mse, 1e-12))
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x**2) / (2 * sigma**2))
+    g = g / jnp.sum(g)
+    return jnp.outer(g, g)
+
+
+def _filter2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Valid-mode 2D correlation applied per channel. img: (H, W, C)."""
+    k = kernel.shape[0]
+    H, W, C = img.shape
+    # extract patches via cumulative approach is messy; use lax conv
+    import jax.lax as lax
+
+    lhs = img.transpose(2, 0, 1)[:, None]  # (C, 1, H, W)
+    rhs = kernel[None, None]  # (1, 1, k, k)
+    out = lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1, 1), padding="VALID"
+    )  # (C, 1, H-k+1, W-k+1)
+    return out[:, 0].transpose(1, 2, 0)
+
+
+def ssim(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    data_range: float = 1.0,
+    kernel_size: int = 11,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jnp.ndarray:
+    """Mean SSIM over an (H, W, C) image pair (gaussian-windowed)."""
+    kernel = _gaussian_kernel(kernel_size, sigma)
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+
+    mu_p = _filter2d(pred, kernel)
+    mu_t = _filter2d(target, kernel)
+    mu_pp = _filter2d(pred * pred, kernel)
+    mu_tt = _filter2d(target * target, kernel)
+    mu_pt = _filter2d(pred * target, kernel)
+
+    var_p = mu_pp - mu_p**2
+    var_t = mu_tt - mu_t**2
+    cov = mu_pt - mu_p * mu_t
+
+    num = (2 * mu_p * mu_t + c1) * (2 * cov + c2)
+    den = (mu_p**2 + mu_t**2 + c1) * (var_p + var_t + c2)
+    return jnp.mean(num / den)
+
+
+class LPIPSMetric:
+    """Optional LPIPS(VGG) via the host-side torch ``lpips`` package.
+
+    Requires pretrained VGG16 weights on disk (zero-egress environments
+    without a weight cache get ``available == False`` and ``None`` scores).
+    Inputs are [0,1] images; scaled to [-1,1] internally as the reference
+    does (train.py:324-326).
+    """
+
+    def __init__(self):
+        self._model = None
+        self.available = False
+        try:  # pragma: no cover - depends on local weight cache
+            import lpips as _lpips  # type: ignore
+
+            self._model = _lpips.LPIPS(net="vgg")
+            self.available = True
+        except Exception:
+            self._model = None
+
+    def __call__(self, pred: np.ndarray, target: np.ndarray) -> Optional[float]:
+        if not self.available:
+            return None
+        import torch  # local import: torch stays off the TPU path
+
+        with torch.no_grad():
+            p = torch.from_numpy(np.asarray(pred)).permute(2, 0, 1)[None] * 2 - 1
+            t = torch.from_numpy(np.asarray(target)).permute(2, 0, 1)[None] * 2 - 1
+            return float(self._model(p.float(), t.float()).item())

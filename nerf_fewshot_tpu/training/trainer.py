@@ -1,0 +1,450 @@
+"""The training engine.
+
+Re-implements the reference's config-driven trainer loop
+(reference: src/training/train.py:46-389) TPU-first:
+
+* The hot path is one jit-compiled ``train_step`` (forward render + loss +
+  backward + optax update) per progressive-resolution phase — exactly three
+  compiled shapes for the reference's schedule (train.py:249-258), instead of
+  eager per-op dispatch.
+* Ray batches are *static-shape*: partial batches are padded and masked, so
+  gradients equal the reference's ragged batches bit-for-bit while XLA
+  compiles once.
+* All randomness is explicit (jax.random keys threaded per step); per-epoch
+  ray permutations use a host numpy RNG (reference: train.py:272 randperm).
+* Per-view progressive rays are precomputed per phase (focal scaled by
+  H_phase/H, targets bilinear-resized — train.py:266-270) and kept on device.
+* DINO conditioning consumes precomputed per-view feature maps (the reference
+  also precomputes once under no_grad — train.py:158-169 — which means its
+  DINO-LoRA params receive no gradient in the config path; behavior
+  reproduced here by treating feature maps as constants).
+* Optional multi-device data parallelism: the ray batch is sharded over a
+  1-D device mesh, parameters replicated, gradient psum inserted by XLA
+  (see parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_fewshot_tpu.data.blender import BlenderDataset
+from nerf_fewshot_tpu.models.mlp import NeRFMLP, NeRFWithDINO
+from nerf_fewshot_tpu.ops.interp import grid_sample, resize_bilinear
+from nerf_fewshot_tpu.ops.rays import get_rays, project_points_to_image
+from nerf_fewshot_tpu.render.pipeline import RenderSettings, render_rays, render_image
+from nerf_fewshot_tpu.training.config import Config, PhaseSpec
+from nerf_fewshot_tpu.training.losses import nerf_loss
+from nerf_fewshot_tpu.training.metrics import LPIPSMetric, psnr, ssim
+from nerf_fewshot_tpu.training.optim import (
+    make_optimizer,
+    multistep_lr,
+    set_learning_rate,
+)
+from nerf_fewshot_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from nerf_fewshot_tpu.utils.logging import JSONLLogger, save_png
+
+
+@dataclasses.dataclass
+class PhaseData:
+    """Per-phase, per-view device-resident ray data."""
+
+    rays_o: jnp.ndarray  # (V, HW, 3)
+    rays_d: jnp.ndarray  # (V, HW, 3)
+    targets: jnp.ndarray  # (V, HW, 3)
+    H: int
+    W: int
+
+
+def _feature_sampler(feat_map, pose, focal, H, W, align_corners=False):
+    """Per-point conditioning closure: project 3D points into the feature
+    view, bilinear-sample the map (reference: train.py:210-221)."""
+
+    def fn(pts):
+        pts2d, _, _ = project_points_to_image(pts, pose, focal, H, W)
+        return grid_sample(feat_map, pts2d, align_corners=align_corners)
+
+    return fn
+
+
+class Trainer:
+    """Few-shot NeRF trainer (single-host; see parallel/ for mesh wrapping)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        train_data: BlenderDataset,
+        test_data: Optional[BlenderDataset] = None,
+        dino_features: Optional[np.ndarray] = None,  # (V, Hp, Wp, D)
+        mesh: Optional[jax.sharding.Mesh] = None,
+        log_path: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.train_data = train_data
+        self.test_data = test_data
+        self.H, self.W, self.focal = train_data.H, train_data.W, train_data.focal
+        self.targets_full = jnp.asarray(train_data.white_composited())  # (V,H,W,3)
+        self.poses = jnp.asarray(train_data.poses)
+        self.n_views = train_data.n_views
+
+        self.use_dino = cfg.dino.use_dino and dino_features is not None
+        self.dino_features = (
+            jnp.asarray(dino_features) if self.use_dino else None
+        )
+
+        # Model -------------------------------------------------------------
+        if cfg.nerf.arch == "module":
+            self.model = NeRFWithDINO(
+                pos_freq=cfg.nerf.pos_freq,
+                dir_freq=cfg.nerf.dir_freq,
+                dino_dim=cfg.dino.output_dim,
+                hidden_dim=cfg.nerf.hidden_dim,
+                num_density_layers=cfg.nerf.num_layers,
+            )
+        else:
+            self.model = NeRFMLP(
+                pos_freq=cfg.nerf.pos_freq,
+                dir_freq=cfg.nerf.dir_freq,
+                use_viewdirs=cfg.nerf.use_viewdirs,
+                dino_dim=cfg.dino.output_dim if self.use_dino else 0,
+                hidden_dim=cfg.nerf.hidden_dim,
+                num_layers=cfg.nerf.num_layers,
+                skip_layers=tuple(cfg.nerf.skip_layers),
+                lora_rank=cfg.nerf.lora_rank,
+                lora_alpha=cfg.nerf.lora_alpha,
+            )
+
+        key = jax.random.key(cfg.seed)
+        k_init, self.key = jax.random.split(key)
+        dummy_pts = jnp.zeros((1, 3))
+        dummy_dirs = jnp.zeros((1, 3))
+        if cfg.nerf.arch == "module":
+            dummy_dino = jnp.zeros((1, cfg.dino.output_dim))
+            self.params = self.model.init(
+                k_init, dummy_pts, dummy_dirs, dummy_dino
+            )["params"]
+        elif self.use_dino:
+            dummy_dino = jnp.zeros((1, cfg.dino.output_dim))
+            self.params = self.model.init(
+                k_init, dummy_pts, dummy_dirs, dummy_dino
+            )["params"]
+        else:
+            self.params = self.model.init(k_init, dummy_pts, dummy_dirs)["params"]
+
+        # Optimizer ---------------------------------------------------------
+        self.lr_at = multistep_lr(
+            cfg.optimizer.lr, cfg.optimizer.lr_milestones, cfg.optimizer.lr_gamma
+        )
+        self.tx = make_optimizer(cfg.optimizer, self.params)
+        self.opt_state = self.tx.init(self.params)
+        self._lora_only_active = False
+
+        self.epoch = 0
+        self.best_psnr = 0.0
+        self._phase_data: Dict[int, PhaseData] = {}
+        self._step_fns: Dict[int, Callable] = {}
+        self._np_rng = np.random.default_rng(cfg.seed)
+        self.logger = JSONLLogger(path=log_path, run_name=cfg.name, config=cfg.raw)
+        self.lpips = LPIPSMetric()
+
+    # ------------------------------------------------------------------ model
+
+    def _model_fn(self, params):
+        """Close params into a (pts, dirs, dino) -> (rgb, sigma) callable."""
+
+        def fn(pts, dirs, dino):
+            if self.cfg.nerf.arch == "module":
+                rgb, sigma = self.model.apply(
+                    {"params": params}, pts, dirs, dino
+                )
+            elif self.use_dino:
+                rgb, sigma = self.model.apply({"params": params}, pts, dirs, dino)
+            else:
+                rgb, sigma = self.model.apply({"params": params}, pts, dirs)
+            return rgb, sigma
+
+        return fn
+
+    def _render_settings(self, n_samples: int, training: bool) -> RenderSettings:
+        cfg = self.cfg
+        noise = 0.0
+        if training and not cfg.strict_reference_behavior:
+            noise = cfg.rendering.noise_std
+        return RenderSettings(
+            near=cfg.rendering.near,
+            far=cfg.rendering.far,
+            n_samples=n_samples,
+            n_importance=cfg.rendering.n_importance,
+            perturb=training,
+            noise_std=noise,
+            white_bkgd=cfg.rendering.white_bkgd,
+            lindisp=cfg.rendering.lindisp,
+        )
+
+    # ------------------------------------------------------------- phase data
+
+    def phase_data(self, phase_idx: int) -> PhaseData:
+        if phase_idx in self._phase_data:
+            return self._phase_data[phase_idx]
+        p = self.cfg.phases[phase_idx]
+        Hp, Wp = p.H, p.W
+        focal = self.focal * (Hp / self.H)  # reference: train.py:267
+        ros, rds, tgts = [], [], []
+        for v in range(self.n_views):
+            ro, rd = get_rays(Hp, Wp, focal, self.poses[v])
+            tgt = self.targets_full[v]
+            if (Hp, Wp) != (self.H, self.W):
+                tgt = resize_bilinear(tgt, Hp, Wp)  # train.py:270 semantics
+            ros.append(ro.reshape(-1, 3))
+            rds.append(rd.reshape(-1, 3))
+            tgts.append(tgt.reshape(-1, 3))
+        pd = PhaseData(
+            rays_o=jnp.stack(ros),
+            rays_d=jnp.stack(rds),
+            targets=jnp.stack(tgts),
+            H=Hp,
+            W=Wp,
+        )
+        self._phase_data[phase_idx] = pd
+        return pd
+
+    # ------------------------------------------------------------- train step
+
+    def _make_step_fn(self, phase_idx: int) -> Callable:
+        if phase_idx in self._step_fns:
+            return self._step_fns[phase_idx]
+        p = self.cfg.phases[phase_idx]
+        pd = self.phase_data(phase_idx)
+        settings = self._render_settings(p.n_samples, training=True)
+        cfg = self.cfg
+        use_dino = self.use_dino
+        rgb_only = cfg.strict_reference_behavior
+
+        def loss_fn(params, key, ro, rd, tgt, mask, feat_map, feat_pose):
+            pf = None
+            if use_dino:
+                pf = _feature_sampler(
+                    feat_map, feat_pose, self.focal, self.H, self.W
+                )
+            out = render_rays(
+                self._model_fn(params), ro, rd, settings, key=key,
+                point_features_fn=pf,
+            )
+            losses = nerf_loss(
+                out.rgb,
+                tgt,
+                cfg.loss,
+                weights=None if rgb_only else out.weights,
+                mask=mask,
+            )
+            return losses["total"], losses
+
+        def step(params, opt_state, key, ro, rd, tgt, mask, feat_map, feat_pose):
+            (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, key, ro, rd, tgt, mask, feat_map, feat_pose
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(
+                lambda q, u: q + u, params, updates
+            )
+            return params, opt_state, loss
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_s = NamedSharding(self.mesh, P("data"))
+            repl = NamedSharding(self.mesh, P())
+            step_jit = jax.jit(
+                step,
+                in_shardings=(
+                    repl, repl, repl, data_s, data_s, data_s, data_s, repl, repl
+                ),
+                out_shardings=(repl, repl, repl),
+                donate_argnums=(0, 1),
+            )
+        else:
+            step_jit = jax.jit(step, donate_argnums=(0, 1))
+        self._step_fns[phase_idx] = step_jit
+        return step_jit
+
+    def _phase_index(self, epoch: int) -> int:
+        for i, p in enumerate(self.cfg.phases):
+            if p.start_epoch <= epoch < p.end_epoch:
+                return i
+        return len(self.cfg.phases) - 1
+
+    def _batch_granularity(self) -> int:
+        if self.mesh is None:
+            return 1
+        return int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+
+    def train_epoch(self, epoch: int) -> float:
+        """One epoch over all views (reference: train.py:244-292)."""
+        cfg = self.cfg
+        phase_idx = self._phase_index(epoch)
+        p = cfg.phases[phase_idx]
+        pd = self.phase_data(phase_idx)
+        step_fn = self._make_step_fn(phase_idx)
+
+        # Two-phase LoRA freeze boundary (train_lora.py:89-93): fresh
+        # optimizer over LoRA params only.
+        boundary = cfg.optimizer.lora_only_after_epoch
+        if boundary and epoch >= boundary and not self._lora_only_active:
+            self.tx = make_optimizer(cfg.optimizer, self.params, lora_only=True)
+            self.opt_state = self.tx.init(self.params)
+            self._lora_only_active = True
+            self._step_fns.clear()
+            step_fn = self._make_step_fn(phase_idx)
+
+        set_learning_rate(self.opt_state, self.lr_at(epoch))
+
+        n_rays = pd.rays_o.shape[1]
+        B = min(p.batch_size, n_rays)
+        # pad B to the mesh size so shards are equal
+        g = self._batch_granularity()
+        B = ((B + g - 1) // g) * g
+        n_batches = (n_rays + B - 1) // B
+
+        zero_feat = jnp.zeros((1, 1, 1), jnp.float32)
+        eye = jnp.eye(4, dtype=jnp.float32)
+
+        total_loss, count = 0.0, 0
+        for v in range(self.n_views):
+            perm = self._np_rng.permutation(n_rays)
+            feat_map = self.dino_features[v] if self.use_dino else zero_feat
+            feat_pose = self.poses[v] if self.use_dino else eye
+            for b in range(n_batches):
+                idx = perm[b * B : (b + 1) * B]
+                mask_np = np.ones((B,), np.float32)
+                if idx.shape[0] < B:
+                    pad = B - idx.shape[0]
+                    mask_np[idx.shape[0] :] = 0.0
+                    idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
+                idx_j = jnp.asarray(idx)
+                self.key, k_step = jax.random.split(self.key)
+                self.params, self.opt_state, loss = step_fn(
+                    self.params,
+                    self.opt_state,
+                    k_step,
+                    pd.rays_o[v][idx_j],
+                    pd.rays_d[v][idx_j],
+                    pd.targets[v][idx_j],
+                    jnp.asarray(mask_np),
+                    feat_map,
+                    feat_pose,
+                )
+                total_loss += float(loss)
+                count += 1
+        return total_loss / max(count, 1)
+
+    # ------------------------------------------------------------------- eval
+
+    def evaluate(
+        self, max_views: Optional[int] = None, dump_dir: Optional[str] = None
+    ) -> Dict[str, float]:
+        """Full-resolution chunked eval on the test split
+        (reference: train.py:294-342). DINO features come from train view 0
+        regardless of test pose — the reference's eval quirk
+        (train.py:204-213), reproduced under strict_reference_behavior."""
+        if self.test_data is None:
+            return {}
+        cfg = self.cfg
+        n_samples = cfg.phases[-1].n_samples
+        settings = self._render_settings(n_samples, training=False)
+        pf = None
+        if self.use_dino:
+            pf = _feature_sampler(
+                self.dino_features[0], self.poses[0], self.focal, self.H, self.W
+            )
+        model_fn = self._model_fn(self.params)
+
+        test_targets = self.test_data.white_composited()
+        n = self.test_data.n_views if max_views is None else min(
+            max_views, self.test_data.n_views
+        )
+        all_psnr, all_ssim, all_lpips = [], [], []
+        for i in range(n):
+            ro, rd = get_rays(
+                self.H, self.W, self.focal, jnp.asarray(self.test_data.poses[i])
+            )
+            out = render_image(
+                model_fn, ro, rd, settings,
+                chunk_size=cfg.rendering.chunk_size, point_features_fn=pf,
+            )
+            pred = out.rgb
+            tgt = jnp.asarray(test_targets[i])
+            all_psnr.append(float(psnr(pred, tgt)))
+            all_ssim.append(float(ssim(pred, tgt)))
+            lp = self.lpips(np.asarray(pred), np.asarray(tgt))
+            if lp is not None:
+                all_lpips.append(lp)
+            if dump_dir is not None and i < 5:
+                save_png(
+                    os.path.join(dump_dir, f"render_{i}.png"),
+                    np.clip(np.asarray(pred), 0, 1),
+                )
+                save_png(
+                    os.path.join(dump_dir, f"gt_{i}.png"), np.asarray(tgt)
+                )
+        metrics = {
+            "psnr": float(np.mean(all_psnr)),
+            "ssim": float(np.mean(all_ssim)),
+        }
+        if all_lpips:
+            metrics["lpips"] = float(np.mean(all_lpips))
+        return metrics
+
+    # ------------------------------------------------------------------ train
+
+    def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.epochs
+        metrics: Dict[str, float] = {}
+        for epoch in range(self.epoch, epochs):
+            self.epoch = epoch
+            loss = self.train_epoch(epoch)
+            self.logger.log(
+                {"epoch": epoch, "train_loss": loss, "lr": self.lr_at(epoch)}
+            )
+            if (epoch + 1) % cfg.output.val_freq == 0:
+                dump = os.path.join(cfg.output.save_dir, f"epoch_{epoch}")
+                metrics = self.evaluate(dump_dir=dump)
+                self.logger.log({"epoch": epoch, **metrics})
+                if metrics.get("psnr", 0.0) > self.best_psnr:
+                    self.best_psnr = metrics["psnr"]
+                    self.save(os.path.join(cfg.output.save_dir, "best.ckpt"))
+            if (epoch + 1) % cfg.output.save_freq == 0:
+                self.save(
+                    os.path.join(cfg.output.save_dir, f"epoch_{epoch + 1}.ckpt")
+                )
+        return metrics
+
+    # ------------------------------------------------------------- checkpoint
+
+    def save(self, path: str) -> None:
+        save_checkpoint(
+            path,
+            {"params": self.params, "opt_state": self.opt_state},
+            metadata={
+                "epoch": self.epoch,
+                "best_psnr": self.best_psnr,
+                "config": self.cfg.raw,
+            },
+        )
+
+    def load(self, path: str) -> None:
+        tree, meta = restore_checkpoint(
+            path, {"params": self.params, "opt_state": self.opt_state}
+        )
+        self.params = tree["params"]
+        self.opt_state = tree["opt_state"]
+        if meta:
+            self.epoch = int(meta.get("epoch", 0)) + 1
+            self.best_psnr = float(meta.get("best_psnr", 0.0))

@@ -1,0 +1,128 @@
+"""End-to-end tests: few-shot training on a procedural synthetic scene
+converges (the framework's equivalent of the reference's lego convergence),
+Blender dataset IO round-trips, and trainer checkpoints resume."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from nerf_fewshot_tpu.data import lego_like_scene, make_scene_dataset
+from nerf_fewshot_tpu.data.blender import load_blender, save_blender
+from nerf_fewshot_tpu.training.config import config_from_dict
+from nerf_fewshot_tpu.training.trainer import Trainer
+
+
+def small_config(tmpdir, epochs=12, res=24, **overrides):
+    d = {
+        "experiment": {"name": "e2e"},
+        "data": {"resolution": res, "num_views": 3, "near": 2.0, "far": 6.0},
+        "nerf_model": {"pos_freq": 8, "dir_freq": 2, "hidden_dim": 64,
+                       "num_layers": 3},
+        "training": {
+            "epochs": epochs,
+            "batch_size": 288,
+            "progressive_schedule": {
+                "epochs_0_50": [res, res, 24],
+                "epochs_50_100": [res, res, 24],
+                "epochs_100_plus": [res, res, 24],
+            },
+        },
+        "optimizer": {"lr": 5e-3, "weight_decay": 1e-6,
+                      "lr_milestones": [1000], "lr_gamma": 0.5},
+        "rendering": {"chunk_size": 576, "white_bkgd": True},
+        "output": {"save_dir": str(tmpdir), "val_freq": 1000,
+                   "save_freq": 1000},
+    }
+    d.update(overrides)
+    return config_from_dict(d)
+
+
+@pytest.fixture(scope="module")
+def scene_data():
+    scene = lego_like_scene()
+    train = make_scene_dataset(scene, n_views=3, img_size=24, gt_samples=96)
+    test = make_scene_dataset(scene, n_views=1, img_size=24, gt_samples=96,
+                              split="test")
+    return train, test
+
+
+def test_few_shot_training_converges(scene_data, tmp_path):
+    train, test = scene_data
+    cfg = small_config(tmp_path)
+    tr = Trainer(cfg, train, test)
+    m0 = tr.evaluate(max_views=1)
+    for e in range(12):
+        loss = tr.train_epoch(e)
+    m1 = tr.evaluate(max_views=1)
+    assert np.isfinite(loss)
+    assert m1["psnr"] > m0["psnr"] + 2.0, (m0, m1)
+
+
+def test_trainer_checkpoint_resume(scene_data, tmp_path):
+    train, test = scene_data
+    cfg = small_config(tmp_path, epochs=2)
+    tr = Trainer(cfg, train, test)
+    tr.train_epoch(0)
+    tr.epoch = 0
+    path = str(tmp_path / "resume.ckpt")
+    tr.save(path)
+
+    tr2 = Trainer(cfg, train, test)
+    tr2.load(path)
+    assert tr2.epoch == 1
+    a = jax.tree_util.tree_leaves(tr.params)[0]
+    b = jax.tree_util.tree_leaves(tr2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_dino_conditioned_training_runs(scene_data, tmp_path):
+    """Frozen-feature conditioning path: precomputed per-view maps are
+    projected + bilinearly sampled per point and concatenated into the MLP
+    input (the reference's single_scale pipeline shape)."""
+    train, test = scene_data
+    cfg = small_config(
+        tmp_path, epochs=2,
+        model={"use_dino": True, "dino_model_type": "single_scale"},
+        dino_model={"name": "x", "use_lora": False, "lora_rank": 4,
+                    "lora_alpha": 4},
+    )
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((3, 9, 9, cfg.dino.output_dim)).astype(np.float32)
+    tr = Trainer(cfg, train, test, dino_features=feats)
+    loss0 = tr.train_epoch(0)
+    loss1 = tr.train_epoch(1)
+    assert np.isfinite(loss0) and np.isfinite(loss1)
+    m = tr.evaluate(max_views=1)
+    assert np.isfinite(m["psnr"])
+
+
+def test_blender_io_roundtrip(scene_data, tmp_path):
+    train, _ = scene_data
+    base = str(tmp_path / "scene")
+    os.makedirs(base, exist_ok=True)
+    save_blender(base, "train", train.images, train.poses, camera_angle_x=0.6911)
+    loaded = load_blender(base, "train")
+    assert loaded.n_views == train.n_views
+    assert loaded.H == train.H and loaded.W == train.W
+    # 8-bit quantization error only
+    np.testing.assert_allclose(loaded.images[..., :3], train.images,
+                               atol=1.0 / 255 + 1e-6)
+    np.testing.assert_allclose(loaded.poses, train.poses, rtol=1e-5)
+    assert loaded.focal == pytest.approx(train.focal, rel=1e-3)
+
+
+def test_blender_focal_reference_quirk(scene_data, tmp_path):
+    """img_size-resized loads must reproduce the reference's double-applied
+    focal scale (data_loader.py:62) under the default convention."""
+    train, _ = scene_data
+    base = str(tmp_path / "scene2")
+    os.makedirs(base, exist_ok=True)
+    save_blender(base, "train", train.images, train.poses, camera_angle_x=0.6911)
+    half = train.H // 2
+    ref = load_blender(base, "train", img_size=half)
+    phys = load_blender(base, "train", img_size=half,
+                        focal_convention="physical")
+    scale = half / train.W
+    assert ref.focal == pytest.approx(phys.focal * scale, rel=1e-5)
