@@ -150,15 +150,14 @@ def render_rays(
     )
 
 
-def render_image(
-    model_fn: ModelFn,
+def render_image_with(
+    ray_render_fn,
     rays_o: jnp.ndarray,  # (H, W, 3)
     rays_d: jnp.ndarray,
-    settings: RenderSettings,
     chunk_size: int = 2048,
-    point_features_fn: Optional[PointFeaturesFn] = None,
 ) -> RenderOutputs:
-    """Deterministically render a full image in fixed-size ray chunks.
+    """Deterministically render a full image in fixed-size ray chunks using
+    any per-ray renderer ``(ro, rd) -> RenderOutputs`` (XLA or fused backend).
 
     The chunked loop mirrors the reference's memory-bounded eval render
     (reference: src/training/train.py:309-319) but with *static* chunk shapes:
@@ -179,9 +178,7 @@ def render_image(
 
     def chunk_fn(args):
         o, d = args
-        return render_rays(
-            model_fn, o, d, settings, key=None, point_features_fn=point_features_fn
-        )
+        return ray_render_fn(o, d)
 
     outs = jax.lax.map(chunk_fn, (ro, rd))
     return RenderOutputs(
@@ -192,3 +189,22 @@ def render_image(
             H, W, outs.weights.shape[-1]
         ),
     )
+
+
+def render_image(
+    model_fn: ModelFn,
+    rays_o: jnp.ndarray,  # (H, W, 3)
+    rays_d: jnp.ndarray,
+    settings: RenderSettings,
+    chunk_size: int = 2048,
+    point_features_fn: Optional[PointFeaturesFn] = None,
+) -> RenderOutputs:
+    """XLA-backend full-image render (see render_image_with)."""
+
+    def ray_fn(o, d):
+        return render_rays(
+            model_fn, o, d, settings, key=None,
+            point_features_fn=point_features_fn,
+        )
+
+    return render_image_with(ray_fn, rays_o, rays_d, chunk_size=chunk_size)

@@ -112,6 +112,9 @@ class RenderingConfig:
     white_bkgd: bool = False
     n_importance: int = 0  # hierarchical fine samples (first-class here)
     lindisp: bool = False
+    # 'fused' = Pallas ray-tile kernel (functional arch, noise_std 0);
+    # 'xla' = plain jit pipeline; 'auto' picks fused when eligible.
+    backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -263,6 +266,7 @@ def config_from_dict(d: Dict[str, Any]) -> Config:
         noise_std=float(pick((rend_d, "noise_std"), default=0.0)),
         white_bkgd=bool(pick((rend_d, "white_bkgd"), default=False)),
         n_importance=int(pick((rend_d, "n_importance"), default=0)),
+        backend=str(pick((rend_d, "backend"), default="auto")),
     )
     output = OutputConfig(
         save_dir=str(pick((out_d, "save_dir"), default="results/default")),

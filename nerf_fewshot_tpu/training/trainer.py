@@ -38,7 +38,12 @@ from nerf_fewshot_tpu.data.blender import BlenderDataset
 from nerf_fewshot_tpu.models.mlp import NeRFMLP, NeRFWithDINO
 from nerf_fewshot_tpu.ops.interp import grid_sample, resize_bilinear
 from nerf_fewshot_tpu.ops.rays import get_rays, project_points_to_image
-from nerf_fewshot_tpu.render.pipeline import RenderSettings, render_rays, render_image
+from nerf_fewshot_tpu.render.fused import fused_render_rays
+from nerf_fewshot_tpu.render.pipeline import (
+    RenderSettings,
+    render_image_with,
+    render_rays,
+)
 from nerf_fewshot_tpu.training.config import Config, PhaseSpec
 from nerf_fewshot_tpu.training.losses import nerf_loss
 from nerf_fewshot_tpu.training.metrics import LPIPSMetric, psnr, ssim
@@ -172,6 +177,56 @@ class Trainer:
 
         return fn
 
+    def _use_fused(self) -> bool:
+        """Fused Pallas backend eligibility: functional NeRFMLP arch and no
+        sigma noise (strict reference behavior never applies it)."""
+        b = self.cfg.rendering.backend
+        if b == "xla":
+            return False
+        eligible = (
+            self.cfg.nerf.arch != "module"
+            and self.cfg.nerf.hidden_dim % 128 == 0
+            and (
+                self.cfg.strict_reference_behavior
+                or self.cfg.rendering.noise_std == 0.0
+            )
+            and jax.default_backend() in ("tpu", "axon")
+        )
+        if b == "fused":
+            if not eligible:
+                raise ValueError(
+                    "rendering.backend=fused requires the functional arch, "
+                    "hidden_dim % 128 == 0, and no sigma noise"
+                )
+            return True
+        return eligible  # auto
+
+    def _ray_render_fn(self, params, settings: RenderSettings, key, pf):
+        """(rays_o, rays_d) -> RenderOutputs on the configured backend."""
+        if self._use_fused():
+            cfg = self.cfg
+
+            def fn(ro, rd):
+                return fused_render_rays(
+                    params, ro, rd, settings,
+                    pos_freq=cfg.nerf.pos_freq, dir_freq=cfg.nerf.dir_freq,
+                    num_layers=cfg.nerf.num_layers,
+                    hidden_dim=cfg.nerf.hidden_dim,
+                    use_viewdirs=cfg.nerf.use_viewdirs,
+                    lora_alpha=cfg.nerf.lora_alpha,
+                    key=key, point_features_fn=pf,
+                )
+
+            return fn
+
+        def fn(ro, rd):
+            return render_rays(
+                self._model_fn(params), ro, rd, settings, key=key,
+                point_features_fn=pf,
+            )
+
+        return fn
+
     def _render_settings(self, n_samples: int, training: bool) -> RenderSettings:
         cfg = self.cfg
         noise = 0.0
@@ -233,10 +288,7 @@ class Trainer:
                 pf = _feature_sampler(
                     feat_map, feat_pose, self.focal, self.H, self.W
                 )
-            out = render_rays(
-                self._model_fn(params), ro, rd, settings, key=key,
-                point_features_fn=pf,
-            )
+            out = self._ray_render_fn(params, settings, key, pf)(ro, rd)
             losses = nerf_loss(
                 out.rgb,
                 tgt,
@@ -363,7 +415,7 @@ class Trainer:
             pf = _feature_sampler(
                 self.dino_features[0], self.poses[0], self.focal, self.H, self.W
             )
-        model_fn = self._model_fn(self.params)
+        ray_fn = self._ray_render_fn(self.params, settings, None, pf)
 
         test_targets = self.test_data.white_composited()
         n = self.test_data.n_views if max_views is None else min(
@@ -374,9 +426,8 @@ class Trainer:
             ro, rd = get_rays(
                 self.H, self.W, self.focal, jnp.asarray(self.test_data.poses[i])
             )
-            out = render_image(
-                model_fn, ro, rd, settings,
-                chunk_size=cfg.rendering.chunk_size, point_features_fn=pf,
+            out = render_image_with(
+                ray_fn, ro, rd, chunk_size=cfg.rendering.chunk_size
             )
             pred = out.rgb
             tgt = jnp.asarray(test_targets[i])
