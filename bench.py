@@ -37,6 +37,7 @@ def bench_jax() -> float:
 
     from nerf_fewshot_tpu.models import NeRFMLP
     from nerf_fewshot_tpu.render import RenderSettings, render_rays
+    from nerf_fewshot_tpu.render.fused import fused_render_rays
 
     model = NeRFMLP(
         pos_freq=POS_FREQ, dir_freq=DIR_FREQ, use_viewdirs=True,
@@ -48,14 +49,21 @@ def bench_jax() -> float:
     tx = optax.adam(5e-4)
     opt_state = tx.init(params)
     settings = RenderSettings(near=2.0, far=6.0, n_samples=N_SAMPLES, perturb=True)
+    use_fused = jax.default_backend() in ("tpu", "axon")
 
     @jax.jit
     def step(params, opt_state, key, rays_o, rays_d, target):
         def loss_fn(p):
-            def model_fn(pts, dirs, dino):
-                return model.apply({"params": p}, pts, dirs)
+            if use_fused:
+                out = fused_render_rays(
+                    p, rays_o, rays_d, settings, POS_FREQ, DIR_FREQ,
+                    N_LAYERS, HIDDEN, key=key,
+                )
+            else:
+                def model_fn(pts, dirs, dino):
+                    return model.apply({"params": p}, pts, dirs)
 
-            out = render_rays(model_fn, rays_o, rays_d, settings, key=key)
+                out = render_rays(model_fn, rays_o, rays_d, settings, key=key)
             return jnp.mean((out.rgb - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

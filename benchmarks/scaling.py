@@ -1,0 +1,107 @@
+"""Data-parallel scaling-efficiency benchmark.
+
+Measures fwd+bwd training-step throughput (rays/s) at 1, 2, 4, ..., N
+devices with the ray batch scaled proportionally (weak scaling — the regime
+that matters for DP), and reports efficiency vs linear. On a multi-chip TPU
+slice this exercises ICI all-reduce; on the CPU test platform it validates
+the harness itself. Multi-host runs extend the same mesh after
+``parallel.initialize_multihost``.
+
+BASELINE.md target: >85% efficiency at 2 hosts.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nerf_fewshot_tpu.models import NeRFMLP
+from nerf_fewshot_tpu.parallel import make_mesh, data_parallel_train_step
+from nerf_fewshot_tpu.render import RenderSettings, render_rays
+
+HIDDEN, N_LAYERS, POS_FREQ, DIR_FREQ = 256, 8, 10, 4
+
+
+def _build_step(model, tx, settings):
+    def step(params, opt_state, key, rays_o, rays_d, target):
+        def loss_fn(p):
+            def model_fn(pts, dirs, dino):
+                return model.apply({"params": p}, pts, dirs)
+
+            out = render_rays(model_fn, rays_o, rays_d, settings, key=key)
+            return jnp.mean((out.rgb - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+def run_scaling_benchmark(
+    batch_per_device: int = 1024,
+    n_samples: int = 64,
+    iters: int = 20,
+    device_counts: List[int] = None,
+) -> Dict:
+    n_avail = len(jax.devices())
+    if device_counts is None:
+        device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_avail]
+
+    model = NeRFMLP(pos_freq=POS_FREQ, dir_freq=DIR_FREQ, use_viewdirs=True,
+                    hidden_dim=HIDDEN, num_layers=N_LAYERS)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )["params"]
+    tx = optax.adam(5e-4)
+    settings = RenderSettings(near=2.0, far=6.0, n_samples=n_samples,
+                              perturb=True)
+    step = _build_step(model, tx, settings)
+    rng = np.random.default_rng(0)
+
+    results = []
+    base_rate = None
+    for nd in device_counts:
+        mesh = make_mesh(nd)
+        step_dp = data_parallel_train_step(
+            step, mesh, batch_argnums=(3, 4, 5), donate_argnums=()
+        )
+        B = batch_per_device * nd
+        ro = jnp.asarray(rng.standard_normal((B, 3)).astype(np.float32))
+        rd = jnp.asarray(rng.standard_normal((B, 3)).astype(np.float32))
+        tgt = jnp.asarray(rng.uniform(0, 1, (B, 3)).astype(np.float32))
+        opt_state = tx.init(params)
+        keys = jax.random.split(jax.random.key(1), iters + 3)
+
+        p, o = params, opt_state
+        for i in range(3):
+            p, o, loss = step_dp(p, o, keys[i], ro, rd, tgt)
+        float(loss)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            p, o, loss = step_dp(p, o, keys[3 + i], ro, rd, tgt)
+        float(loss)
+        dt = time.perf_counter() - t0
+        rate = B * iters / dt
+        if base_rate is None:
+            base_rate = rate
+        results.append(
+            {
+                "devices": nd,
+                "rays_per_sec": round(rate, 1),
+                "rays_per_sec_per_device": round(rate / nd, 1),
+                "efficiency": round(rate / (base_rate * nd), 4),
+            }
+        )
+    return {"batch_per_device": batch_per_device, "results": results}
+
+
+if __name__ == "__main__":
+    import json
+
+    print(json.dumps(run_scaling_benchmark(), indent=2))

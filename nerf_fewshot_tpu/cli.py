@@ -113,6 +113,32 @@ def cmd_evaluate(args) -> None:
     print(json.dumps(results, default=float))
 
 
+def cmd_extract_features(args) -> None:
+    """Precompute per-view feature maps to .npz (the reference's
+    extract_features.py equivalent, src/training/extract_features.py)."""
+    from nerf_fewshot_tpu.training.config import load_config
+
+    cfg = load_config(args.config)
+    train_data, _ = _load_datasets(cfg, args.synthetic)
+    feats = _precompute_features(cfg, train_data)
+    if feats is None:
+        raise SystemExit("config has model.use_dino: false — nothing to extract")
+    out = args.output or os.path.join(cfg.output.save_dir, "features.npz")
+    os.makedirs(os.path.dirname(os.path.abspath(out)) or ".", exist_ok=True)
+    np.savez_compressed(out, features=feats)
+    print(json.dumps({"saved": out, "shape": list(feats.shape)}))
+
+
+def cmd_bench_scaling(args) -> None:
+    """Rays/s at 1..N devices (DP scaling-efficiency harness)."""
+    from benchmarks.scaling import run_scaling_benchmark
+
+    results = run_scaling_benchmark(
+        batch_per_device=args.batch_per_device, n_samples=args.n_samples
+    )
+    print(json.dumps(results))
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="nerf_fewshot_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -134,6 +160,19 @@ def main(argv=None) -> None:
     p_eval.add_argument("--n-orbit", type=int, default=8)
     p_eval.add_argument("--synthetic", action="store_true")
     p_eval.set_defaults(fn=cmd_evaluate)
+
+    p_feat = sub.add_parser("extract-features",
+                            help="precompute per-view DINO feature maps")
+    p_feat.add_argument("--config", required=True)
+    p_feat.add_argument("--output", default=None)
+    p_feat.add_argument("--synthetic", action="store_true")
+    p_feat.set_defaults(fn=cmd_extract_features)
+
+    p_scale = sub.add_parser("bench-scaling",
+                             help="DP scaling-efficiency benchmark")
+    p_scale.add_argument("--batch-per-device", type=int, default=1024)
+    p_scale.add_argument("--n-samples", type=int, default=64)
+    p_scale.set_defaults(fn=cmd_bench_scaling)
 
     args = parser.parse_args(argv)
     args.fn(args)

@@ -65,6 +65,7 @@ def fused_render_rays(
     point_features_fn=None,
     tile_rays: int = 64,
     interpret: bool = False,
+    compute_dtype: str = "float32",
 ) -> RenderOutputs:
     """Fused-kernel analog of pipeline.render_rays for NeRFMLP params.
 
@@ -85,7 +86,8 @@ def fused_render_rays(
             dino = point_features_fn(pts.reshape(-1, 3))
         x = encode_points(pts, rays_d, pos_freq, dir_freq, use_viewdirs, dino)
         rgb, depth, acc, weights = fused_render(
-            x, z, dnorm, *packed, settings.white_bkgd, tile_rays, interpret
+            x, z, dnorm, *packed, settings.white_bkgd, tile_rays, interpret,
+            compute_dtype,
         )
         return RenderOutputs(
             rgb=rgb, depth=depth[:, 0], acc=acc[:, 0], weights=weights

@@ -63,23 +63,29 @@ def _tri_after(S: int, dtype) -> jnp.ndarray:
     return (j > i).astype(dtype)
 
 
-def _mlp_forward(x, w0, b0, wh, bh, wout, bout, save_acts=False):
+def _dot(a, b, compute_dtype):
+    """Matmul with f32 accumulation; optionally bf16 inputs (single-pass MXU
+    instead of the 3-pass f32 decomposition — ~3× the matmul rate)."""
+    if compute_dtype == "bfloat16":
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _mlp_forward(x, w0, b0, wh, bh, wout, bout, save_acts=False,
+                 compute_dtype="float32"):
     """Trunk + packed heads. x: (N, D_PAD). Returns (out4 (N, OUT_PAD),
     acts list) — acts[l] is the input to layer l (post-ReLU of l-1)."""
     acts = [x] if save_acts else None
-    h = jnp.maximum(
-        jnp.dot(x, w0, preferred_element_type=jnp.float32) + b0, 0.0
-    )
+    h = jnp.maximum(_dot(x, w0, compute_dtype) + b0, 0.0)
     n_hidden = wh.shape[0]
     for l in range(n_hidden):
         if save_acts:
             acts.append(h)
-        h = jnp.maximum(
-            jnp.dot(h, wh[l], preferred_element_type=jnp.float32) + bh[l], 0.0
-        )
+        h = jnp.maximum(_dot(h, wh[l], compute_dtype) + bh[l], 0.0)
     if save_acts:
         acts.append(h)
-    out = jnp.dot(h, wout, preferred_element_type=jnp.float32) + bout
+    out = _dot(h, wout, compute_dtype) + bout
     return out, acts
 
 
@@ -111,11 +117,12 @@ def _composite(sigma, z, dnorm, white_bkgd):
 def _fwd_kernel(
     x_ref, z_ref, dnorm_ref, w0_ref, b0_ref, wh_ref, bh_ref, wout_ref,
     bout_ref, rgb_ref, depth_ref, acc_ref, weights_ref, *, S, white_bkgd,
+    compute_dtype,
 ):
     R = z_ref.shape[0]
     out, _ = _mlp_forward(
         x_ref[:], w0_ref[:], b0_ref[:], wh_ref[:], bh_ref[:], wout_ref[:],
-        bout_ref[:],
+        bout_ref[:], compute_dtype=compute_dtype,
     )
     rgb_s = jax.nn.sigmoid(out[:, 0:3]).reshape(R, S, 3)
     sigma = out[:, 3].reshape(R, S)
@@ -135,7 +142,7 @@ def _bwd_kernel(
     x_ref, z_ref, dnorm_ref, w0_ref, b0_ref, wh_ref, bh_ref, wout_ref,
     bout_ref, g_rgb_ref, g_depth_ref, g_acc_ref, g_weights_ref,
     dx_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
-    *, S, white_bkgd,
+    *, S, white_bkgd, compute_dtype,
 ):
     R = z_ref.shape[0]
     N = R * S
@@ -152,7 +159,7 @@ def _bwd_kernel(
     x = x_ref[:]
     out, acts = _mlp_forward(
         x, w0_ref[:], b0_ref[:], wh_ref[:], bh_ref[:], wout_ref[:],
-        bout_ref[:], save_acts=True,
+        bout_ref[:], save_acts=True, compute_dtype=compute_dtype,
     )
     rgb_s = jax.nn.sigmoid(out[:, 0:3]).reshape(R, S, 3)
     sigma = out[:, 3].reshape(R, S)
@@ -197,23 +204,21 @@ def _bwd_kernel(
     )
 
     h_last = acts[-1]
-    dwout_ref[:] += jnp.dot(h_last.T, g_out, preferred_element_type=jnp.float32)
+    dwout_ref[:] += _dot(h_last.T, g_out, compute_dtype)
     dbout_ref[:] += jnp.sum(g_out, axis=0, keepdims=True)
-    g_h = jnp.dot(g_out, wout_ref[:].T, preferred_element_type=jnp.float32)
+    g_h = _dot(g_out, wout_ref[:].T, compute_dtype)
 
     n_hidden = wh_ref.shape[0]
     for l in range(n_hidden - 1, -1, -1):
         g_h = g_h * (acts[l + 2] > 0.0).astype(z.dtype)
-        dwh_ref[l] += jnp.dot(
-            acts[l + 1].T, g_h, preferred_element_type=jnp.float32
-        )
+        dwh_ref[l] += _dot(acts[l + 1].T, g_h, compute_dtype)
         dbh_ref[l] += jnp.sum(g_h, axis=0, keepdims=True)[0]
-        g_h = jnp.dot(g_h, wh_ref[l].T, preferred_element_type=jnp.float32)
+        g_h = _dot(g_h, wh_ref[l].T, compute_dtype)
 
     g_h = g_h * (acts[1] > 0.0).astype(z.dtype)
-    dw0_ref[:] += jnp.dot(acts[0].T, g_h, preferred_element_type=jnp.float32)
+    dw0_ref[:] += _dot(acts[0].T, g_h, compute_dtype)
     db0_ref[:] += jnp.sum(g_h, axis=0, keepdims=True)
-    dx_ref[:] = jnp.dot(g_h, w0_ref[:].T, preferred_element_type=jnp.float32)
+    dx_ref[:] = _dot(g_h, w0_ref[:].T, compute_dtype)
 
 
 def _check_shapes(x, z, dnorm, w0, wh, wout):
@@ -227,12 +232,23 @@ def _check_shapes(x, z, dnorm, w0, wh, wout):
     return R, S, H
 
 
+# Empirically tuned on v5e: raise the scoped-VMEM ceiling above the 16 MiB
+# default so larger ray tiles fit (v5e cores have far more physical VMEM).
+VMEM_LIMIT = 100 * 1024 * 1024
+BWD_STASH_BUDGET = 6 * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+
+
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12)
 )
 def fused_render(
     x, z, dnorm, w0, b0, wh, bh, wout, bout,
     white_bkgd: bool = False, tile_rays: int = 64, interpret: bool = False,
+    compute_dtype: str = "float32",
 ):
     """Fused MLP + alpha-composite render.
 
@@ -249,12 +265,13 @@ def fused_render(
     """
     return _fused_fwd_impl(
         x, z, dnorm, w0, b0, wh, bh, wout, bout, white_bkgd, tile_rays,
-        interpret,
+        interpret, compute_dtype,
     )
 
 
 def _fused_fwd_impl(
-    x, z, dnorm, w0, b0, wh, bh, wout, bout, white_bkgd, tile_rays, interpret
+    x, z, dnorm, w0, b0, wh, bh, wout, bout, white_bkgd, tile_rays, interpret,
+    compute_dtype="float32",
 ):
     R, S, H = _check_shapes(x, z, dnorm, w0, wh, wout)
     R_T = min(tile_rays, R)
@@ -264,7 +281,8 @@ def _fused_fwd_impl(
     L1 = wh.shape[0]
 
     D = x.shape[1]
-    kernel = functools.partial(_fwd_kernel, S=S, white_bkgd=white_bkgd)
+    kernel = functools.partial(_fwd_kernel, S=S, white_bkgd=white_bkgd,
+                               compute_dtype=compute_dtype)
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
@@ -298,21 +316,22 @@ def _fused_fwd_impl(
             jax.ShapeDtypeStruct((R, S), x.dtype),
         ],
         grid_spec=grid_spec,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(x, z, dnorm, w0, b0, wh, bh, wout, bout)
     return rgb, depth, acc, weights
 
 
 def _fused_fwd_rule(x, z, dnorm, w0, b0, wh, bh, wout, bout,
-                    white_bkgd, tile_rays, interpret):
+                    white_bkgd, tile_rays, interpret, compute_dtype):
     out = _fused_fwd_impl(
         x, z, dnorm, w0, b0, wh, bh, wout, bout, white_bkgd, tile_rays,
-        interpret,
+        interpret, compute_dtype,
     )
     return out, (x, z, dnorm, w0, b0, wh, bh, wout, bout)
 
 
-def _fused_bwd_rule(white_bkgd, tile_rays, interpret, res, g):
+def _fused_bwd_rule(white_bkgd, tile_rays, interpret, compute_dtype, res, g):
     x, z, dnorm, w0, b0, wh, bh, wout, bout = res
     g_rgb, g_depth, g_acc, g_weights = g
     R, S, H = _check_shapes(x, z, dnorm, w0, wh, wout)
@@ -320,7 +339,7 @@ def _fused_bwd_rule(white_bkgd, tile_rays, interpret, res, g):
     # Budget ~6 MB for the stash (weights + dW accumulators + io take the
     # rest of the 16 MB): R_T·S ≤ 6MB / ((L+2)·H·4).
     L_total = wh.shape[0] + 2
-    budget = 6 * 1024 * 1024
+    budget = BWD_STASH_BUDGET
     max_pts = max(budget // (L_total * H * 4), S)
     R_T = max(min(max_pts // S, tile_rays, R), 1)
     while R % R_T != 0:
@@ -329,7 +348,8 @@ def _fused_bwd_rule(white_bkgd, tile_rays, interpret, res, g):
     L1 = wh.shape[0]
 
     D = x.shape[1]
-    kernel = functools.partial(_bwd_kernel, S=S, white_bkgd=white_bkgd)
+    kernel = functools.partial(_bwd_kernel, S=S, white_bkgd=white_bkgd,
+                               compute_dtype=compute_dtype)
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
@@ -375,6 +395,7 @@ def _fused_bwd_rule(white_bkgd, tile_rays, interpret, res, g):
             jax.ShapeDtypeStruct((1, OUT_PAD), x.dtype),
         ],
         grid_spec=grid_spec,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(x, z, dnorm, w0, b0, wh, bh, wout, bout, g_rgb, g_depth, g_acc,
       g_weights)

@@ -1,0 +1,52 @@
+"""Profiling and debugging hooks.
+
+The reference's only performance observability is wall-clock epoch prints
+(SURVEY.md §5.1). Here: a `jax.profiler` trace context for capturing TPU
+traces viewable in XProf/TensorBoard, a step-rate meter (rays/s — the
+headline metric), and a NaN guard toggle.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Iterator, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str) -> Iterator[None]:
+    """Capture a profiler trace for the enclosed block
+    (`tensorboard --logdir` or XProf to view)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class RateMeter:
+    """Exponentially-smoothed rays/s meter for the training loop."""
+
+    def __init__(self, alpha: float = 0.1):
+        self.alpha = alpha
+        self.rate: Optional[float] = None
+        self._t: Optional[float] = None
+
+    def tick(self, n_rays: int) -> Optional[float]:
+        now = time.perf_counter()
+        if self._t is not None:
+            inst = n_rays / max(now - self._t, 1e-9)
+            self.rate = (
+                inst if self.rate is None
+                else self.alpha * inst + (1 - self.alpha) * self.rate
+            )
+        self._t = now
+        return self.rate
+
+
+def enable_nan_guard(enable: bool = True) -> None:
+    """Globally re-run jitted computations de-optimized when a NaN appears
+    and raise with the offending primitive (jax debug_nans)."""
+    jax.config.update("jax_debug_nans", enable)
