@@ -132,13 +132,19 @@ def make_scene_dataset(
     def model_fn(pts, dirs, feats):
         return scene.field_fn(pts)
 
-    images = []
-    for pose in poses:
-        rays_o, rays_d = get_rays(img_size, img_size, focal, jnp.asarray(pose))
+    import jax
+
+    @jax.jit  # trace once, reuse across all poses (compiles are expensive)
+    def render_pose(pose):
+        rays_o, rays_d = get_rays(img_size, img_size, focal, pose)
         out = render_image(
             model_fn, rays_o, rays_d, settings, chunk_size=img_size * img_size
         )
-        images.append(np.asarray(out.rgb))
+        return out.rgb
+
+    images = []
+    for pose in poses:
+        images.append(np.asarray(render_pose(jnp.asarray(pose))))
     return BlenderDataset(
         images=np.clip(np.stack(images), 0.0, 1.0),
         poses=poses.astype(np.float32),

@@ -135,6 +135,21 @@ class MultiScaleDINOFeatures(nn.Module):
         return TorchDense(self.output_dim, name="final_proj1")(h)
 
 
+class LoRADINO(nn.Module):
+    """Minimal LoRA-DINO wrapper: image → full token sequence (CLS included),
+    the reference's ``dino_lora.LoRADINO`` surface
+    (reference: src/models/dino_lora.py:34-57). Used by the offline feature
+    dumper; the spatial extractors above are the training-path variants."""
+
+    vit: ViTConfig = ViTConfig(lora_rank=16)
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray, deterministic: bool = True):
+        return DINOv2ViT(self.vit, name="backbone")(
+            normalize_image(image), deterministic=deterministic
+        )
+
+
 def build_feature_extractor(
     dino_cfg, image_size: int, vit: ViTConfig = None
 ) -> Tuple[Callable, Any]:

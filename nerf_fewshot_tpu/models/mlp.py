@@ -42,7 +42,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from nerf_fewshot_tpu.models.fusion import NeRFDINOFusion
-from nerf_fewshot_tpu.models.lora import LoRADense, TorchDense
+from nerf_fewshot_tpu.models.lora import LoRADense, TorchDense, torch_linear_init
 from nerf_fewshot_tpu.ops.encoding import positional_encoding
 
 
@@ -78,6 +78,14 @@ class NeRFMLP(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_dropout: float = 0.1
+    # Optional constant init for the sigma head bias. The torch-default
+    # U(±1/√fan_in) bias (None) is a coin flip: a negative draw combined with
+    # ReLU-attenuated trunk activations can make sigma negative at *every*
+    # point, and since alpha = 1-exp(-relu(σ)·d) has exactly zero gradient
+    # there, training never escapes (the reference has the same hazard and
+    # relies on RNG luck). A small positive constant (e.g. 0.1) guarantees a
+    # live start without changing the architecture.
+    sigma_bias_init: Any = None
     dtype: Any = None
 
     @nn.compact
@@ -115,7 +123,15 @@ class NeRFMLP(nn.Module):
                 h = TorchDense(self.hidden_dim, name=f"trunk_{i}")(h)
             h = nn.relu(h)
 
-        sigma = TorchDense(1, name="sigma_head")(h)
+        if self.sigma_bias_init is not None:
+            sigma = nn.Dense(
+                1,
+                kernel_init=torch_linear_init(),
+                bias_init=nn.initializers.constant(float(self.sigma_bias_init)),
+                name="sigma_head",
+            )(h)
+        else:
+            sigma = TorchDense(1, name="sigma_head")(h)
         rgb = nn.sigmoid(TorchDense(3, name="rgb_head")(h))
         return rgb, sigma
 

@@ -68,6 +68,9 @@ class NeRFModelConfig:
     lora_rank: int = 0
     lora_alpha: float = 16.0
     skip_layers: Tuple[int, ...] = ()
+    # Constant sigma-head bias init (robustness against the dead-start
+    # hazard; None = torch-default random bias, reference-faithful).
+    sigma_bias: Optional[float] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -115,6 +118,10 @@ class RenderingConfig:
     # 'fused' = Pallas ray-tile kernel (functional arch, noise_std 0);
     # 'xla' = plain jit pipeline; 'auto' picks fused when eligible.
     backend: str = "auto"
+    # Matmul input precision inside the fused kernel: 'float32' (parity) or
+    # 'bfloat16' (single-pass MXU; numerically equal to XLA's DEFAULT
+    # precision, which already truncates f32 matmul inputs to bf16 on TPU).
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -235,6 +242,20 @@ def config_from_dict(d: Dict[str, Any]) -> Config:
                             default=256)),
         num_layers=int(pick((nerf_d, "num_layers"), (model_d, "num_layers"),
                             default=8)),
+        use_viewdirs=bool(pick((nerf_d, "use_viewdirs"), default=True)),
+        # 'functional' is the config-driven trainer's surface (train.py uses
+        # NeRFMLP even for multi_scale features); 'module' selects the
+        # NeRFWithDINO fusion stack (the train_multiscale.py surface).
+        arch=str(pick((nerf_d, "arch"), default="functional")),
+        # LoRA on the NeRF trunk (the standalone-script surface:
+        # train_lora.py:57 rank 4, train_projection.py:51 rank 16)
+        lora_rank=int(pick((nerf_d, "lora_rank"), default=0)),
+        lora_alpha=float(pick((nerf_d, "lora_alpha"), default=16.0)),
+        skip_layers=tuple(pick((nerf_d, "skip_layers"), default=())),
+        sigma_bias=(
+            None if pick((nerf_d, "sigma_bias"), default=None) is None
+            else float(pick((nerf_d, "sigma_bias")))
+        ),
     )
 
     batch_size = int(pick((train_d, "batch_size"), default=1024))
@@ -250,6 +271,14 @@ def config_from_dict(d: Dict[str, Any]) -> Config:
                                  (train_d, "lr_milestones"), default=(100, 150))),
         lr_gamma=float(pick((opt_d, "lr_gamma"), (train_d, "lr_gamma"),
                             default=0.5)),
+        kind=str(pick((opt_d, "kind"), default="adam")),
+        grad_clip=float(pick((opt_d, "grad_clip"), (train_d, "grad_clip"),
+                             default=0.0)),
+        # Two-phase freeze boundary (train_lora.py:89-93 freezes at 51)
+        lora_only_after_epoch=int(
+            pick((opt_d, "lora_only_after_epoch"),
+                 (train_d, "lora_only_after_epoch"), default=0)
+        ),
     )
     loss = LossConfig(
         rgb_weight=float(pick((loss_d, "rgb_weight"), (train_d, "rgb_weight"),
@@ -267,6 +296,7 @@ def config_from_dict(d: Dict[str, Any]) -> Config:
         white_bkgd=bool(pick((rend_d, "white_bkgd"), default=False)),
         n_importance=int(pick((rend_d, "n_importance"), default=0)),
         backend=str(pick((rend_d, "backend"), default="auto")),
+        compute_dtype=str(pick((rend_d, "compute_dtype"), default="float32")),
     )
     output = OutputConfig(
         save_dir=str(pick((out_d, "save_dir"), default="results/default")),

@@ -124,6 +124,7 @@ class Trainer:
                 skip_layers=tuple(cfg.nerf.skip_layers),
                 lora_rank=cfg.nerf.lora_rank,
                 lora_alpha=cfg.nerf.lora_alpha,
+                sigma_bias_init=cfg.nerf.sigma_bias,
             )
 
         key = jax.random.key(cfg.seed)
@@ -184,7 +185,10 @@ class Trainer:
         if b == "xla":
             return False
         eligible = (
-            self.cfg.nerf.arch != "module"
+            self.mesh is None  # DP path: pallas_call has no SPMD partition
+            # rule; the sharded trainer uses the XLA pipeline (fused-under-
+            # shard_map is the planned multi-chip fast path)
+            and self.cfg.nerf.arch != "module"
             and self.cfg.nerf.hidden_dim % 128 == 0
             and (
                 self.cfg.strict_reference_behavior
@@ -215,6 +219,7 @@ class Trainer:
                     use_viewdirs=cfg.nerf.use_viewdirs,
                     lora_alpha=cfg.nerf.lora_alpha,
                     key=key, point_features_fn=pf,
+                    compute_dtype=cfg.rendering.compute_dtype,
                 )
 
             return fn
@@ -298,7 +303,13 @@ class Trainer:
             )
             return losses["total"], losses
 
-        def step(params, opt_state, key, ro, rd, tgt, mask, feat_map, feat_pose):
+        def step(params, opt_state, key, view_ro, view_rd, view_tgt, idx,
+                 mask, feat_map, feat_pose):
+            # Batch gather happens inside the jit: one dispatch per step, and
+            # under DP the (sharded) indices gather from replicated view rays.
+            ro = view_ro[idx]
+            rd = view_rd[idx]
+            tgt = view_tgt[idx]
             (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, key, ro, rd, tgt, mask, feat_map, feat_pose
             )
@@ -316,7 +327,8 @@ class Trainer:
             step_jit = jax.jit(
                 step,
                 in_shardings=(
-                    repl, repl, repl, data_s, data_s, data_s, data_s, repl, repl
+                    repl, repl, repl, repl, repl, repl, data_s, data_s,
+                    repl, repl,
                 ),
                 out_shardings=(repl, repl, repl),
                 donate_argnums=(0, 1),
@@ -367,7 +379,13 @@ class Trainer:
         zero_feat = jnp.zeros((1, 1, 1), jnp.float32)
         eye = jnp.eye(4, dtype=jnp.float32)
 
-        total_loss, count = 0.0, 0
+        # One key-split dispatch per epoch instead of per step.
+        n_steps = self.n_views * n_batches
+        epoch_keys = jax.random.split(self.key, n_steps + 1)
+        self.key = epoch_keys[0]
+        step_i = 0
+
+        losses = []
         for v in range(self.n_views):
             perm = self._np_rng.permutation(n_rays)
             feat_map = self.dino_features[v] if self.use_dino else zero_feat
@@ -379,24 +397,85 @@ class Trainer:
                     pad = B - idx.shape[0]
                     mask_np[idx.shape[0] :] = 0.0
                     idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
-                idx_j = jnp.asarray(idx)
-                self.key, k_step = jax.random.split(self.key)
+                step_i += 1
+                k_step = epoch_keys[step_i]
                 self.params, self.opt_state, loss = step_fn(
                     self.params,
                     self.opt_state,
                     k_step,
-                    pd.rays_o[v][idx_j],
-                    pd.rays_d[v][idx_j],
-                    pd.targets[v][idx_j],
+                    pd.rays_o[v],
+                    pd.rays_d[v],
+                    pd.targets[v],
+                    jnp.asarray(idx),
                     jnp.asarray(mask_np),
                     feat_map,
                     feat_pose,
                 )
-                total_loss += float(loss)
-                count += 1
-        return total_loss / max(count, 1)
+                # Keep losses on device: fetching per step would serialize
+                # dispatch with execution (costly through a remote runtime).
+                losses.append(loss)
+        if not losses:
+            return 0.0
+        return float(jnp.mean(jnp.stack(losses)))
 
     # ------------------------------------------------------------------- eval
+
+    def _eval_chunk_fn(self, n_samples: int, chunk_size: int):
+        """Cached jitted per-chunk eval renderer (recreating closures per
+        call would re-trace through the remote compiler every eval)."""
+        key = ("eval", n_samples, chunk_size)
+        if key in self._step_fns:
+            return self._step_fns[key]
+        settings = self._render_settings(n_samples, training=False)
+        use_dino = self.use_dino
+
+        def chunk(params, ro, rd, feat_map, feat_pose):
+            pf = None
+            if use_dino:
+                pf = _feature_sampler(
+                    feat_map, feat_pose, self.focal, self.H, self.W
+                )
+            out = self._ray_render_fn(params, settings, None, pf)(ro, rd)
+            return out.rgb, out.depth, out.acc
+
+        fn = jax.jit(chunk)
+        self._step_fns[key] = fn
+        return fn
+
+    def render_view(
+        self, pose, n_samples: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Full-image render of an arbitrary pose with the cached compiled
+        chunk renderer. Returns (rgb, depth, acc) numpy arrays."""
+        cfg = self.cfg
+        if n_samples is None:
+            n_samples = cfg.phases[-1].n_samples
+        chunk_size = cfg.rendering.chunk_size
+        fn = self._eval_chunk_fn(n_samples, chunk_size)
+        ro, rd = get_rays(self.H, self.W, self.focal, jnp.asarray(pose))
+        n = self.H * self.W
+        ro = ro.reshape(-1, 3)
+        rd = rd.reshape(-1, 3)
+        pad = (-n) % chunk_size
+        if pad:
+            ro = jnp.concatenate([ro, jnp.broadcast_to(ro[-1:], (pad, 3))])
+            rd = jnp.concatenate([rd, jnp.broadcast_to(rd[-1:], (pad, 3))])
+        feat_map = (
+            self.dino_features[0] if self.use_dino
+            else jnp.zeros((1, 1, 1), jnp.float32)
+        )
+        feat_pose = self.poses[0] if self.use_dino else jnp.eye(4)
+        rgbs, depths, accs = [], [], []
+        for c in range(ro.shape[0] // chunk_size):
+            sl = slice(c * chunk_size, (c + 1) * chunk_size)
+            rgb, depth, acc = fn(self.params, ro[sl], rd[sl], feat_map, feat_pose)
+            rgbs.append(rgb)
+            depths.append(depth)
+            accs.append(acc)
+        rgb = jnp.concatenate(rgbs)[:n].reshape(self.H, self.W, 3)
+        depth = jnp.concatenate(depths)[:n].reshape(self.H, self.W)
+        acc = jnp.concatenate(accs)[:n].reshape(self.H, self.W)
+        return np.asarray(rgb), np.asarray(depth), np.asarray(acc)
 
     def evaluate(
         self, max_views: Optional[int] = None, dump_dir: Optional[str] = None
@@ -408,28 +487,14 @@ class Trainer:
         if self.test_data is None:
             return {}
         cfg = self.cfg
-        n_samples = cfg.phases[-1].n_samples
-        settings = self._render_settings(n_samples, training=False)
-        pf = None
-        if self.use_dino:
-            pf = _feature_sampler(
-                self.dino_features[0], self.poses[0], self.focal, self.H, self.W
-            )
-        ray_fn = self._ray_render_fn(self.params, settings, None, pf)
-
         test_targets = self.test_data.white_composited()
         n = self.test_data.n_views if max_views is None else min(
             max_views, self.test_data.n_views
         )
         all_psnr, all_ssim, all_lpips = [], [], []
         for i in range(n):
-            ro, rd = get_rays(
-                self.H, self.W, self.focal, jnp.asarray(self.test_data.poses[i])
-            )
-            out = render_image_with(
-                ray_fn, ro, rd, chunk_size=cfg.rendering.chunk_size
-            )
-            pred = out.rgb
+            rgb_np, _, _ = self.render_view(self.test_data.poses[i])
+            pred = jnp.asarray(rgb_np)
             tgt = jnp.asarray(test_targets[i])
             all_psnr.append(float(psnr(pred, tgt)))
             all_ssim.append(float(ssim(pred, tgt)))
