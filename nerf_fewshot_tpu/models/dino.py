@@ -171,7 +171,11 @@ def build_feature_extractor(
     dummy = jnp.zeros((image_size, image_size, 3))
     variables = model.init(jax.random.key(0), dummy)
 
+    @jax.jit  # one compile, reused per view (eager ViT dispatch is slow)
     def apply_fn(variables, image01):
-        return model.apply(variables, jnp.asarray(image01))
+        return model.apply(variables, image01)
 
-    return apply_fn, variables
+    def apply(variables, image01):
+        return apply_fn(variables, jnp.asarray(image01, jnp.float32))
+
+    return apply, variables

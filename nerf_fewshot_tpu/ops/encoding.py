@@ -17,8 +17,6 @@ ray-tile kernel so the encoded points never round-trip to HBM.
 
 from __future__ import annotations
 
-import functools
-
 import jax.numpy as jnp
 
 
@@ -34,20 +32,6 @@ def posenc_output_dim(input_dim: int, num_freqs: int, include_input: bool = True
     if include_input:
         dim += input_dim
     return dim
-
-
-@functools.partial(jnp.vectorize, signature="(d)->(e)", excluded=(1, 2, 3))
-def _encode_vec(x, num_freqs, include_input, log_sampling):
-    freqs = _freq_bands(num_freqs, log_sampling, x.dtype)
-    # (F, D) phase matrix, then interleave sin/cos per frequency to match the
-    # reference's per-frequency [sin, cos] append order.
-    phases = x[None, :] * freqs[:, None]  # (F, D)
-    sin = jnp.sin(phases)
-    cos = jnp.cos(phases)
-    interleaved = jnp.stack([sin, cos], axis=1).reshape(2 * num_freqs * x.shape[-1])
-    if include_input:
-        return jnp.concatenate([x, interleaved])
-    return interleaved
 
 
 def positional_encoding(

@@ -77,7 +77,6 @@ def fused_render_rays(
     if key is not None:
         k_strat, k_imp = jax.random.split(key)
 
-    packed = pack_params(params, num_layers, hidden_dim, lora_alpha)
     dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
     def run(pts, z):
@@ -85,6 +84,10 @@ def fused_render_rays(
         if point_features_fn is not None:
             dino = point_features_fn(pts.reshape(-1, 3))
         x = encode_points(pts, rays_d, pos_freq, dir_freq, use_viewdirs, dino)
+        # pad width follows the (possibly feature-extended) input dim
+        packed = pack_params(
+            params, num_layers, hidden_dim, lora_alpha, d_pad=x.shape[-1]
+        )
         rgb, depth, acc, weights = fused_render(
             x, z, dnorm, *packed, settings.white_bkgd, tile_rays, interpret,
             compute_dtype,

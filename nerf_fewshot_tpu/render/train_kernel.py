@@ -1,0 +1,245 @@
+"""Single-pass fused training objective: render + masked-MSE loss + all
+parameter gradients in one Pallas kernel invocation.
+
+The generic ``fused_render`` + autodiff path runs the MLP forward twice per
+step (once in the forward kernel to produce the loss, once recomputed inside
+the backward kernel). Specializing to the training objective — the strict
+reference loss is rgb MSE only (reference: train.py:36-44) — the loss
+cotangent ``g_rgb = 2·(rgb−target)·mask / (3·Σmask)`` is computable inside
+the backward kernel itself, eliminating the standalone forward pass
+entirely: one kernel does forward → loss partial → analytic backward → dW
+accumulation per ray tile.
+
+Gradients flow back to the *unpacked* NeRFMLP parameter tree (including
+LoRA factors) via ``jax.vjp`` over the traceable ``pack_params``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerf_fewshot_tpu.ops.sampling import sample_along_rays
+from nerf_fewshot_tpu.render.fused import encode_points
+from nerf_fewshot_tpu.render.kernels import (
+    BWD_STASH_BUDGET,
+    OUT_PAD,
+    _check_shapes,
+    _compiler_params,
+    _composite,
+    _dot,
+    _mlp_forward,
+    _tri_after,
+    pack_params,
+)
+from nerf_fewshot_tpu.render.pipeline import RenderSettings
+
+
+def _train_kernel(
+    x_ref, z_ref, dnorm_ref, tgt_ref, mask_ref, invd_ref,
+    w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
+    loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
+    *, S, white_bkgd, compute_dtype,
+):
+    R = z_ref.shape[0]
+    N = R * S
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        loss_ref[:] = jnp.zeros_like(loss_ref)
+        dw0_ref[:] = jnp.zeros_like(dw0_ref)
+        db0_ref[:] = jnp.zeros_like(db0_ref)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+        dbh_ref[:] = jnp.zeros_like(dbh_ref)
+        dwout_ref[:] = jnp.zeros_like(dwout_ref)
+        dbout_ref[:] = jnp.zeros_like(dbout_ref)
+
+    x = x_ref[:]
+    out, acts = _mlp_forward(
+        x, w0_ref[:], b0_ref[:], wh_ref[:], bh_ref[:], wout_ref[:],
+        bout_ref[:], save_acts=True, compute_dtype=compute_dtype,
+    )
+    rgb_s = jax.nn.sigmoid(out[:, 0:3]).reshape(R, S, 3)
+    sigma = out[:, 3].reshape(R, S)
+    z = z_ref[:]
+    alpha, om, dists, trans, weights = _composite(
+        sigma, z, dnorm_ref[:], white_bkgd
+    )
+    rgb_map = jnp.sum(weights[..., None] * rgb_s, axis=1)  # (R, 3)
+    if white_bkgd:
+        acc = jnp.sum(weights, axis=1, keepdims=True)
+        rgb_map = rgb_map + (1.0 - acc)
+
+    # Masked-MSE loss partial and its rgb cotangent.
+    inv_denom = invd_ref[0, 0]
+    mask = mask_ref[:]  # (R, 1)
+    err = (rgb_map - tgt_ref[:]) * mask
+    # (1,1) block store — Mosaic disallows scalar stores to VMEM
+    loss_ref[:] += (jnp.sum(err * err) * inv_denom).reshape(1, 1)
+    g_rgb = 2.0 * err * inv_denom  # (R, 3)
+
+    g_acc_scalar = jnp.zeros((R, 1), z.dtype)
+    if white_bkgd:
+        g_acc_scalar = -jnp.sum(g_rgb, axis=1, keepdims=True)
+
+    d_rgb_s = weights[..., None] * g_rgb[:, None, :]
+    dLdw = jnp.sum(rgb_s * g_rgb[:, None, :], axis=2) + g_acc_scalar
+    s_after = jnp.dot(
+        dLdw * weights, _tri_after(S, z.dtype).T,
+        preferred_element_type=jnp.float32,
+    )
+    d_alpha = dLdw * trans - s_after / om
+    d_sigma = d_alpha * (1.0 - alpha) * dists * (sigma > 0.0).astype(z.dtype)
+
+    d_pre_rgb = (d_rgb_s * rgb_s * (1.0 - rgb_s)).reshape(N, 3)
+    g_out = jnp.concatenate(
+        [d_pre_rgb, d_sigma.reshape(N, 1),
+         jnp.zeros((N, OUT_PAD - 4), z.dtype)],
+        axis=1,
+    )
+
+    h_last = acts[-1]
+    dwout_ref[:] += _dot(h_last.T, g_out, compute_dtype)
+    dbout_ref[:] += jnp.sum(g_out, axis=0, keepdims=True)
+    g_h = _dot(g_out, wout_ref[:].T, compute_dtype)
+
+    n_hidden = wh_ref.shape[0]
+    for l in range(n_hidden - 1, -1, -1):
+        g_h = g_h * (acts[l + 2] > 0.0).astype(z.dtype)
+        dwh_ref[l] += _dot(acts[l + 1].T, g_h, compute_dtype)
+        dbh_ref[l] += jnp.sum(g_h, axis=0, keepdims=True)[0]
+        g_h = _dot(g_h, wh_ref[l].T, compute_dtype)
+
+    g_h = g_h * (acts[1] > 0.0).astype(z.dtype)
+    dw0_ref[:] += _dot(acts[0].T, g_h, compute_dtype)
+    db0_ref[:] += jnp.sum(g_h, axis=0, keepdims=True)
+
+
+def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
+                interpret, compute_dtype):
+    w0, b0, wh, bh, wout, bout = packed
+    R, S, H = _check_shapes(x, z, dnorm, w0, wh, wout)
+    D = x.shape[1]
+    L1 = wh.shape[0]
+    L_total = L1 + 2
+    max_pts = max(BWD_STASH_BUDGET // (L_total * H * 4), S)
+    R_T = max(min(max_pts // S, R), 1)
+    while R % R_T != 0:
+        R_T -= 1
+    n_tiles = R // R_T
+
+    kernel = functools.partial(
+        _train_kernel, S=S, white_bkgd=white_bkgd, compute_dtype=compute_dtype
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((R_T * S, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_T, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_T, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            full((D, H)),
+            full((1, H)),
+            full((L1, H, H)),
+            full((L1, H)),
+            full((H, OUT_PAD)),
+            full((1, OUT_PAD)),
+        ],
+        out_specs=[
+            full((1, 1)),
+            full((D, H)),
+            full((1, H)),
+            full((L1, H, H)),
+            full((L1, H)),
+            full((H, OUT_PAD)),
+            full((1, OUT_PAD)),
+        ],
+    )
+    loss, dw0, db0, dwh, dbh, dwout, dbout = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), x.dtype),
+            jax.ShapeDtypeStruct(w0.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, H), x.dtype),
+            jax.ShapeDtypeStruct(wh.shape, x.dtype),
+            jax.ShapeDtypeStruct(bh.shape, x.dtype),
+            jax.ShapeDtypeStruct(wout.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, OUT_PAD), x.dtype),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(x, z, dnorm, tgt, mask, inv_denom, w0, b0, wh, bh, wout, bout)
+    return loss[0, 0], (dw0, db0, dwh, dbh, dwout, dbout)
+
+
+def fused_train_loss_grad(
+    params,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    target: jnp.ndarray,
+    mask: jnp.ndarray,  # (R,) validity
+    settings: RenderSettings,
+    pos_freq: int,
+    dir_freq: int,
+    num_layers: int,
+    hidden_dim: int,
+    use_viewdirs: bool = True,
+    lora_alpha: float = 16.0,
+    key: Optional[jax.Array] = None,
+    point_features_fn=None,
+    interpret: bool = False,
+    compute_dtype: str = "float32",
+    denom_rays: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, dict]:
+    """(masked-MSE loss, param-gradient tree) in one fused kernel pass.
+
+    Matches ``mean((rgb - target)^2)`` over valid rays exactly (the strict
+    reference objective); gradients equal the autodiff path (pinned by
+    tests/test_train_kernel.py).
+
+    ``denom_rays`` overrides the normalizer (defaults to the local Σmask) —
+    under data parallelism pass the *global* valid-ray count so per-shard
+    losses/grads psum to the exact global masked mean.
+    """
+    assert settings.noise_std == 0.0 and settings.n_importance == 0
+    k_strat = key if settings.perturb else None
+    if k_strat is not None:
+        k_strat, _ = jax.random.split(k_strat)
+
+    pts, z = sample_along_rays(
+        rays_o, rays_d, settings.near, settings.far, settings.n_samples,
+        key=k_strat, lindisp=settings.lindisp,
+    )
+    dino = None
+    if point_features_fn is not None:
+        dino = point_features_fn(pts.reshape(-1, 3))
+    x = encode_points(pts, rays_d, pos_freq, dir_freq, use_viewdirs, dino)
+    dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    if denom_rays is None:
+        denom_rays = jnp.sum(mask)
+    inv_denom = (1.0 / (3.0 * jnp.maximum(denom_rays, 1.0))).reshape(1, 1)
+
+    d_pad = x.shape[-1]
+    packed, pack_vjp = jax.vjp(
+        lambda p: pack_params(p, num_layers, hidden_dim, lora_alpha,
+                              d_pad=d_pad),
+        params,
+    )
+    loss, dpacked = _train_call(
+        x, z, dnorm, target, mask[:, None], inv_denom, packed,
+        settings.white_bkgd, interpret, compute_dtype,
+    )
+    grads = pack_vjp(dpacked)[0]
+    return loss, grads

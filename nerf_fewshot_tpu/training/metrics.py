@@ -75,8 +75,11 @@ def ssim(
     mu_tt = _filter2d(target * target, kernel)
     mu_pt = _filter2d(pred * target, kernel)
 
-    var_p = mu_pp - mu_p**2
-    var_t = mu_tt - mu_t**2
+    # Clamp variances at 0: the E[x²]−E[x]² form can go slightly negative in
+    # f32 (catastrophic cancellation on near-constant windows), which blows
+    # up the ratio.
+    var_p = jnp.maximum(mu_pp - mu_p**2, 0.0)
+    var_t = jnp.maximum(mu_tt - mu_t**2, 0.0)
     cov = mu_pt - mu_p * mu_t
 
     num = (2 * mu_p * mu_t + c1) * (2 * cov + c2)

@@ -39,11 +39,7 @@ from nerf_fewshot_tpu.models.mlp import NeRFMLP, NeRFWithDINO
 from nerf_fewshot_tpu.ops.interp import grid_sample, resize_bilinear
 from nerf_fewshot_tpu.ops.rays import get_rays, project_points_to_image
 from nerf_fewshot_tpu.render.fused import fused_render_rays
-from nerf_fewshot_tpu.render.pipeline import (
-    RenderSettings,
-    render_image_with,
-    render_rays,
-)
+from nerf_fewshot_tpu.render.pipeline import RenderSettings, render_rays
 from nerf_fewshot_tpu.training.config import Config, PhaseSpec
 from nerf_fewshot_tpu.training.losses import nerf_loss
 from nerf_fewshot_tpu.training.metrics import LPIPSMetric, psnr, ssim
@@ -303,6 +299,39 @@ class Trainer:
             )
             return losses["total"], losses
 
+        # Single-pass fused objective kernel: eligible when the loss is the
+        # strict-reference rgb MSE and the fused renderer applies.
+        use_train_kernel = (
+            self._use_fused() and rgb_only
+            and cfg.rendering.n_importance == 0
+        )
+
+        def loss_and_grad(params, key, ro, rd, tgt, mask, feat_map, feat_pose):
+            if use_train_kernel:
+                from nerf_fewshot_tpu.render.train_kernel import (
+                    fused_train_loss_grad,
+                )
+
+                pf = None
+                if use_dino:
+                    pf = _feature_sampler(
+                        feat_map, feat_pose, self.focal, self.H, self.W
+                    )
+                return fused_train_loss_grad(
+                    params, ro, rd, tgt, mask, settings,
+                    pos_freq=cfg.nerf.pos_freq, dir_freq=cfg.nerf.dir_freq,
+                    num_layers=cfg.nerf.num_layers,
+                    hidden_dim=cfg.nerf.hidden_dim,
+                    use_viewdirs=cfg.nerf.use_viewdirs,
+                    lora_alpha=cfg.nerf.lora_alpha,
+                    key=key, point_features_fn=pf,
+                    compute_dtype=cfg.rendering.compute_dtype,
+                )
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, key, ro, rd, tgt, mask, feat_map, feat_pose
+            )
+            return loss, grads
+
         def step(params, opt_state, key, view_ro, view_rd, view_tgt, idx,
                  mask, feat_map, feat_pose):
             # Batch gather happens inside the jit: one dispatch per step, and
@@ -310,7 +339,7 @@ class Trainer:
             ro = view_ro[idx]
             rd = view_rd[idx]
             tgt = view_tgt[idx]
-            (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            loss, grads = loss_and_grad(
                 params, key, ro, rd, tgt, mask, feat_map, feat_pose
             )
             updates, opt_state = self.tx.update(grads, opt_state, params)

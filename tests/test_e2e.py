@@ -19,7 +19,7 @@ def small_config(tmpdir, epochs=12, res=24, **overrides):
         "experiment": {"name": "e2e"},
         "data": {"resolution": res, "num_views": 3, "near": 2.0, "far": 6.0},
         "nerf_model": {"pos_freq": 8, "dir_freq": 2, "hidden_dim": 64,
-                       "num_layers": 3},
+                       "num_layers": 3, "sigma_bias": 0.1},
         "training": {
             "epochs": epochs,
             "batch_size": 288,

@@ -1,0 +1,52 @@
+"""Fused train kernel under shard_map DP (8 virtual CPU devices, interpret
+mode): loss and gradients must equal the single-device kernel."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nerf_fewshot_tpu.models import NeRFMLP
+from nerf_fewshot_tpu.parallel import make_mesh
+from nerf_fewshot_tpu.parallel.fused_dp import make_dp_fused_loss_grad
+from nerf_fewshot_tpu.render.pipeline import RenderSettings
+from nerf_fewshot_tpu.render.train_kernel import fused_train_loss_grad
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+RNG = np.random.default_rng(41)
+R, S, HIDDEN, NL = 64, 8, 128, 2
+POS_FREQ, DIR_FREQ = 6, 2
+
+
+def test_dp_fused_matches_single_device():
+    model = NeRFMLP(pos_freq=POS_FREQ, dir_freq=DIR_FREQ, use_viewdirs=True,
+                    hidden_dim=HIDDEN, num_layers=NL)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )["params"]
+    ro = jnp.asarray(RNG.standard_normal((R, 3)).astype(np.float32))
+    rd = jnp.asarray(RNG.standard_normal((R, 3)).astype(np.float32))
+    tgt = jnp.asarray(RNG.uniform(0, 1, (R, 3)).astype(np.float32))
+    mask = jnp.asarray((RNG.uniform(0, 1, (R,)) > 0.2).astype(np.float32))
+    # deterministic sampling (perturb off) so shards see identical z grids
+    settings = RenderSettings(near=2.0, far=6.0, n_samples=S, perturb=False)
+
+    want_loss, want_grads = fused_train_loss_grad(
+        params, ro, rd, tgt, mask, settings, POS_FREQ, DIR_FREQ, NL, HIDDEN,
+        interpret=True,
+    )
+
+    mesh = make_mesh(8)
+    dp_fn = make_dp_fused_loss_grad(
+        mesh, settings, POS_FREQ, DIR_FREQ, NL, HIDDEN, interpret=True
+    )
+    got_loss, got_grads = dp_fn(params, jax.random.key(1), ro, rd, tgt, mask)
+
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(want_grads),
+                    jax.tree_util.tree_leaves(got_grads)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)

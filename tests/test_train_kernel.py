@@ -1,0 +1,146 @@
+"""Fused train-step kernel: loss + gradients must equal the autodiff path
+over the XLA pipeline (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nerf_fewshot_tpu.models import NeRFMLP
+from nerf_fewshot_tpu.render.pipeline import RenderSettings, render_rays
+from nerf_fewshot_tpu.render.train_kernel import fused_train_loss_grad
+
+RNG = np.random.default_rng(31)
+
+R, S = 16, 16
+HIDDEN, NL = 128, 3
+POS_FREQ, DIR_FREQ = 10, 4
+
+
+@pytest.mark.parametrize("white_bkgd", [False, True])
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_train_kernel_matches_autodiff(white_bkgd, with_mask):
+    model = NeRFMLP(pos_freq=POS_FREQ, dir_freq=DIR_FREQ, use_viewdirs=True,
+                    hidden_dim=HIDDEN, num_layers=NL)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )["params"]
+    ro = jnp.asarray(RNG.standard_normal((R, 3)).astype(np.float32))
+    rd = jnp.asarray(RNG.standard_normal((R, 3)).astype(np.float32))
+    tgt = jnp.asarray(RNG.uniform(0, 1, (R, 3)).astype(np.float32))
+    if with_mask:
+        mask = jnp.asarray(
+            (RNG.uniform(0, 1, (R,)) > 0.3).astype(np.float32)
+        )
+    else:
+        mask = jnp.ones((R,))
+    settings = RenderSettings(near=2.0, far=6.0, n_samples=S,
+                              white_bkgd=white_bkgd, perturb=False)
+
+    def autodiff_loss(p):
+        def model_fn(pts, dirs, dino):
+            return model.apply({"params": p}, pts, dirs)
+
+        out = render_rays(model_fn, ro, rd, settings, key=None)
+        err = (out.rgb - tgt) * mask[:, None]
+        return jnp.sum(err**2) / (3.0 * jnp.sum(mask))
+
+    want_loss, want_grads = jax.value_and_grad(autodiff_loss)(params)
+    got_loss, got_grads = fused_train_loss_grad(
+        params, ro, rd, tgt, mask, settings, POS_FREQ, DIR_FREQ, NL, HIDDEN,
+        interpret=True,
+    )
+
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+    flat_w = jax.tree_util.tree_flatten_with_path(want_grads)[0]
+    flat_g = dict(
+        (jax.tree_util.keystr(kp), v)
+        for kp, v in jax.tree_util.tree_flatten_with_path(got_grads)[0]
+    )
+    for kp, v in flat_w:
+        np.testing.assert_allclose(
+            np.asarray(flat_g[jax.tree_util.keystr(kp)]), np.asarray(v),
+            rtol=2e-3, atol=1e-6,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(kp)}",
+        )
+
+
+def test_train_kernel_lora_gradients():
+    """LoRA factors receive gradients through the pack merge."""
+    model = NeRFMLP(pos_freq=POS_FREQ, dir_freq=DIR_FREQ, use_viewdirs=True,
+                    hidden_dim=HIDDEN, num_layers=NL, lora_rank=4,
+                    lora_alpha=8.0)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )["params"]
+    for i in range(NL):
+        params[f"trunk_{i}"]["lora_b"] = jnp.asarray(
+            RNG.standard_normal(params[f"trunk_{i}"]["lora_b"].shape)
+            .astype(np.float32) * 0.02
+        )
+    ro = jnp.asarray(RNG.standard_normal((R, 3)).astype(np.float32))
+    rd = jnp.asarray(RNG.standard_normal((R, 3)).astype(np.float32))
+    tgt = jnp.asarray(RNG.uniform(0, 1, (R, 3)).astype(np.float32))
+    settings = RenderSettings(near=2.0, far=6.0, n_samples=S)
+
+    def autodiff_loss(p):
+        def model_fn(pts, dirs, dino):
+            return model.apply({"params": p}, pts, dirs, deterministic=True)
+
+        out = render_rays(model_fn, ro, rd, settings, key=None)
+        return jnp.mean((out.rgb - tgt) ** 2)
+
+    want_loss, want_grads = jax.value_and_grad(autodiff_loss)(params)
+    got_loss, got_grads = fused_train_loss_grad(
+        params, ro, rd, tgt, jnp.ones((R,)), settings, POS_FREQ, DIR_FREQ,
+        NL, HIDDEN, lora_alpha=8.0, interpret=True,
+    )
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+    for i in range(NL):
+        for leaf in ("lora_a", "lora_b"):
+            np.testing.assert_allclose(
+                np.asarray(got_grads[f"trunk_{i}"][leaf]),
+                np.asarray(want_grads[f"trunk_{i}"][leaf]),
+                rtol=2e-3, atol=1e-6, err_msg=f"trunk_{i}/{leaf}",
+            )
+    assert float(jnp.abs(got_grads["trunk_0"]["lora_a"]).sum()) > 0
+
+
+def test_train_kernel_with_point_features():
+    """Feature-conditioned path: input dim exceeds 128 lanes (pos12+dir4+64
+    features → 166 → padded 256); parity vs autodiff."""
+    dino_dim = 64
+    model = NeRFMLP(pos_freq=12, dir_freq=4, use_viewdirs=True,
+                    hidden_dim=HIDDEN, num_layers=NL, dino_dim=dino_dim)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 3)), jnp.zeros((1, 3)),
+        jnp.zeros((1, dino_dim)),
+    )["params"]
+    ro = jnp.asarray(RNG.standard_normal((R, 3)).astype(np.float32))
+    rd = jnp.asarray(RNG.standard_normal((R, 3)).astype(np.float32))
+    tgt = jnp.asarray(RNG.uniform(0, 1, (R, 3)).astype(np.float32))
+    W = jnp.asarray(RNG.standard_normal((3, dino_dim)).astype(np.float32))
+
+    def pf(pts):  # simple deterministic per-point features
+        return jnp.tanh(pts @ W)
+
+    settings = RenderSettings(near=2.0, far=6.0, n_samples=S)
+
+    def autodiff_loss(p):
+        def model_fn(pts, dirs, dino):
+            return model.apply({"params": p}, pts, dirs, dino)
+
+        out = render_rays(model_fn, ro, rd, settings, key=None,
+                          point_features_fn=pf)
+        return jnp.mean((out.rgb - tgt) ** 2)
+
+    want_loss, want_grads = jax.value_and_grad(autodiff_loss)(params)
+    got_loss, got_grads = fused_train_loss_grad(
+        params, ro, rd, tgt, jnp.ones((R,)), settings, 12, 4, NL, HIDDEN,
+        point_features_fn=pf, interpret=True,
+    )
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(want_grads),
+                    jax.tree_util.tree_leaves(got_grads)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=1e-6)
