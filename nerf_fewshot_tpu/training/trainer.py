@@ -332,38 +332,50 @@ class Trainer:
             )
             return loss, grads
 
-        def step(params, opt_state, key, view_ro, view_rd, view_tgt, idx,
-                 mask, feat_map, feat_pose):
-            # Batch gather happens inside the jit: one dispatch per step, and
-            # under DP the (sharded) indices gather from replicated view rays.
-            ro = view_ro[idx]
-            rd = view_rd[idx]
-            tgt = view_tgt[idx]
-            loss, grads = loss_and_grad(
-                params, key, ro, rd, tgt, mask, feat_map, feat_pose
+        def view_fn(params, opt_state, keys, idxs, masks, view_ro, view_rd,
+                    view_tgt, feat_map, feat_pose):
+            """All of one view's minibatch steps as a lax.scan: one dispatch
+            per view instead of per step (per-call latency dominates small
+            steps on a remote runtime)."""
+
+            def body(carry, xs):
+                params, opt_state = carry
+                key, idx, mask = xs
+                # Batch gather inside the jit; under DP the sharded indices
+                # gather from replicated view rays.
+                ro = view_ro[idx]
+                rd = view_rd[idx]
+                tgt = view_tgt[idx]
+                loss, grads = loss_and_grad(
+                    params, key, ro, rd, tgt, mask, feat_map, feat_pose
+                )
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = jax.tree_util.tree_map(
+                    lambda q, u: q + u, params, updates
+                )
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (keys, idxs, masks)
             )
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(
-                lambda q, u: q + u, params, updates
-            )
-            return params, opt_state, loss
+            return params, opt_state, losses
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            data_s = NamedSharding(self.mesh, P("data"))
+            data_s = NamedSharding(self.mesh, P(None, "data"))
             repl = NamedSharding(self.mesh, P())
             step_jit = jax.jit(
-                step,
+                view_fn,
                 in_shardings=(
-                    repl, repl, repl, repl, repl, repl, data_s, data_s,
+                    repl, repl, repl, data_s, data_s, repl, repl, repl,
                     repl, repl,
                 ),
                 out_shardings=(repl, repl, repl),
                 donate_argnums=(0, 1),
             )
         else:
-            step_jit = jax.jit(step, donate_argnums=(0, 1))
+            step_jit = jax.jit(view_fn, donate_argnums=(0, 1))
         self._step_fns[phase_idx] = step_jit
         return step_jit
 
@@ -412,40 +424,40 @@ class Trainer:
         n_steps = self.n_views * n_batches
         epoch_keys = jax.random.split(self.key, n_steps + 1)
         self.key = epoch_keys[0]
-        step_i = 0
 
         losses = []
         for v in range(self.n_views):
             perm = self._np_rng.permutation(n_rays)
             feat_map = self.dino_features[v] if self.use_dino else zero_feat
             feat_pose = self.poses[v] if self.use_dino else eye
-            for b in range(n_batches):
-                idx = perm[b * B : (b + 1) * B]
-                mask_np = np.ones((B,), np.float32)
-                if idx.shape[0] < B:
-                    pad = B - idx.shape[0]
-                    mask_np[idx.shape[0] :] = 0.0
-                    idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
-                step_i += 1
-                k_step = epoch_keys[step_i]
-                self.params, self.opt_state, loss = step_fn(
-                    self.params,
-                    self.opt_state,
-                    k_step,
-                    pd.rays_o[v],
-                    pd.rays_d[v],
-                    pd.targets[v],
-                    jnp.asarray(idx),
-                    jnp.asarray(mask_np),
-                    feat_map,
-                    feat_pose,
-                )
-                # Keep losses on device: fetching per step would serialize
-                # dispatch with execution (costly through a remote runtime).
-                losses.append(loss)
+            # Stack the view's minibatches for the scan (pad the ragged tail;
+            # masks keep gradients exact — losses.py masked means).
+            pad_total = n_batches * B - n_rays
+            idxs = np.concatenate([perm, np.zeros(pad_total, perm.dtype)])
+            masks = np.ones(n_batches * B, np.float32)
+            if pad_total:
+                masks[n_rays:] = 0.0
+            idxs = idxs.reshape(n_batches, B)
+            masks = masks.reshape(n_batches, B)
+            keys = epoch_keys[1 + v * n_batches : 1 + (v + 1) * n_batches]
+            self.params, self.opt_state, view_losses = step_fn(
+                self.params,
+                self.opt_state,
+                keys,
+                jnp.asarray(idxs),
+                jnp.asarray(masks),
+                pd.rays_o[v],
+                pd.rays_d[v],
+                pd.targets[v],
+                feat_map,
+                feat_pose,
+            )
+            # Keep losses on device: fetching per step would serialize
+            # dispatch with execution (costly through a remote runtime).
+            losses.append(view_losses)
         if not losses:
             return 0.0
-        return float(jnp.mean(jnp.stack(losses)))
+        return float(jnp.mean(jnp.concatenate(losses)))
 
     # ------------------------------------------------------------------- eval
 
