@@ -37,7 +37,7 @@ def bench_jax() -> float:
 
     from nerf_fewshot_tpu.models import NeRFMLP
     from nerf_fewshot_tpu.render import RenderSettings, render_rays
-    from nerf_fewshot_tpu.render.fused import fused_render_rays
+    from nerf_fewshot_tpu.render.train_kernel import fused_train_loss_grad
 
     model = NeRFMLP(
         pos_freq=POS_FREQ, dir_freq=DIR_FREQ, use_viewdirs=True,
@@ -50,23 +50,25 @@ def bench_jax() -> float:
     opt_state = tx.init(params)
     settings = RenderSettings(near=2.0, far=6.0, n_samples=N_SAMPLES, perturb=True)
     use_fused = jax.default_backend() in ("tpu", "axon")
+    mask = jnp.ones((N_RAYS,))
 
     @jax.jit
     def step(params, opt_state, key, rays_o, rays_d, target):
-        def loss_fn(p):
-            if use_fused:
-                out = fused_render_rays(
-                    p, rays_o, rays_d, settings, POS_FREQ, DIR_FREQ,
-                    N_LAYERS, HIDDEN, key=key,
-                )
-            else:
+        if use_fused:
+            # single-pass Pallas train kernel (render + loss + grads fused)
+            loss, grads = fused_train_loss_grad(
+                params, rays_o, rays_d, target, mask, settings,
+                POS_FREQ, DIR_FREQ, N_LAYERS, HIDDEN, key=key,
+            )
+        else:
+            def loss_fn(p):
                 def model_fn(pts, dirs, dino):
                     return model.apply({"params": p}, pts, dirs)
 
                 out = render_rays(model_fn, rays_o, rays_d, settings, key=key)
-            return jnp.mean((out.rgb - target) ** 2)
+                return jnp.mean((out.rgb - target) ** 2)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 

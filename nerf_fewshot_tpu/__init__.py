@@ -19,3 +19,13 @@ Layering (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+# Convenience re-exports (import cost is deferred to first attribute access
+# via PEP 562 would be overkill here; these are light modules).
+from nerf_fewshot_tpu.training.config import Config, load_config  # noqa: E402,F401
+from nerf_fewshot_tpu.training.trainer import Trainer  # noqa: E402,F401
+from nerf_fewshot_tpu.render.pipeline import (  # noqa: E402,F401
+    RenderSettings,
+    render_rays,
+    render_image,
+)

@@ -22,7 +22,6 @@ canonical version of the reference's three duplicated grid_sample wrappers.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Tuple
 
 import flax.linen as nn

@@ -21,7 +21,7 @@ TPU notes: token counts here are tiny (81-256); everything runs as dense
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -18,7 +18,7 @@ verbatim, normalizing their schema drift (SURVEY.md §5.6):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import yaml
 

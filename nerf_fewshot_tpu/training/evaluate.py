@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax.numpy as jnp
 import numpy as np
@@ -141,8 +141,6 @@ def feature_interpolation_smoothness(trainer, grid_n: int = 8) -> Dict:
     """Field smoothness on a 3D grid: mean |Δsigma| and |Δrgb| between
     adjacent grid points (evaluate.py:220-270 analog, applied to the learned
     field rather than raw DINO features so it works for all variants)."""
-    import jax
-
     lin = jnp.linspace(-1.2, 1.2, grid_n)
     X, Y, Z = jnp.meshgrid(lin, lin, lin, indexing="ij")
     pts = jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)

@@ -26,9 +26,8 @@ Re-implements the reference's config-driven trainer loop
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +39,7 @@ from nerf_fewshot_tpu.ops.interp import grid_sample, resize_bilinear
 from nerf_fewshot_tpu.ops.rays import get_rays, project_points_to_image
 from nerf_fewshot_tpu.render.fused import fused_render_rays
 from nerf_fewshot_tpu.render.pipeline import RenderSettings, render_rays
-from nerf_fewshot_tpu.training.config import Config, PhaseSpec
+from nerf_fewshot_tpu.training.config import Config
 from nerf_fewshot_tpu.training.losses import nerf_loss
 from nerf_fewshot_tpu.training.metrics import LPIPSMetric, psnr, ssim
 from nerf_fewshot_tpu.training.optim import (
