@@ -410,14 +410,19 @@ fused_render.defvjp(_fused_fwd_rule, _fused_bwd_rule)
 
 
 def pack_params(params, num_layers: int, hidden_dim: int,
-                lora_alpha: float = 16.0, d_pad: int = D_PAD):
+                lora_alpha: float = 16.0, d_pad: int = D_PAD,
+                row_perm=None):
     """Pack a NeRFMLP param tree (models.mlp.NeRFMLP layout) into the
     kernel's padded weight tensors. Traceable (pure jnp) so it runs inside
     the jitted train step — XLA folds the padding/merging into the step.
 
     LoRA trunk layers are merged into effective kernels
     ``W + (alpha/rank)·A@B``; gradients flow back to A/B through this merge
-    automatically under autodiff."""
+    automatically under autodiff.
+
+    ``row_perm`` (optional int array) reorders the first layer's input rows
+    before padding — used by the inline-PE train kernel, whose in-VMEM
+    feature layout differs from the canonical NeRFMLP input order."""
 
     def kb(p):
         return p["kernel"], p["bias"]
@@ -432,6 +437,8 @@ def pack_params(params, num_layers: int, hidden_dim: int,
         return kb(layer)
 
     k0, bias0 = trunk_layer(0)
+    if row_perm is not None:
+        k0 = jnp.take(k0, jnp.asarray(row_perm), axis=0)
     w0 = jnp.zeros((d_pad, hidden_dim), k0.dtype)
     w0 = jax.lax.dynamic_update_slice(w0, k0, (0, 0))
     b0 = bias0[None]

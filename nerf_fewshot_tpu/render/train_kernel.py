@@ -40,12 +40,14 @@ from nerf_fewshot_tpu.render.kernels import (
 from nerf_fewshot_tpu.render.pipeline import RenderSettings
 
 
-def _train_kernel(
-    x_ref, z_ref, dnorm_ref, tgt_ref, mask_ref, invd_ref,
+def _objective_body(
+    x, z_ref, dnorm_ref, tgt_ref, mask_ref, invd_ref,
     w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
     loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
     *, S, white_bkgd, compute_dtype,
 ):
+    """Shared kernel body: forward → loss partial → analytic backward → dW
+    accumulation, for an already-encoded tile input ``x``."""
     R = z_ref.shape[0]
     N = R * S
 
@@ -59,7 +61,6 @@ def _train_kernel(
         dwout_ref[:] = jnp.zeros_like(dwout_ref)
         dbout_ref[:] = jnp.zeros_like(dbout_ref)
 
-    x = x_ref[:]
     out, acts = _mlp_forward(
         x, w0_ref[:], b0_ref[:], wh_ref[:], bh_ref[:], wout_ref[:],
         bout_ref[:], save_acts=True, compute_dtype=compute_dtype,
@@ -118,6 +119,178 @@ def _train_kernel(
     g_h = g_h * (acts[1] > 0.0).astype(z.dtype)
     dw0_ref[:] += _dot(acts[0].T, g_h, compute_dtype)
     db0_ref[:] += jnp.sum(g_h, axis=0, keepdims=True)
+
+
+def _train_kernel(
+    x_ref, z_ref, dnorm_ref, tgt_ref, mask_ref, invd_ref,
+    w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
+    loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
+    *, S, white_bkgd, compute_dtype,
+):
+    _objective_body(
+        x_ref[:], z_ref, dnorm_ref, tgt_ref, mask_ref, invd_ref,
+        w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
+        loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
+        S=S, white_bkgd=white_bkgd, compute_dtype=compute_dtype,
+    )
+
+
+def _train_pe_kernel(
+    raw_ref, feats_ref, z_ref, dnorm_ref, tgt_ref, mask_ref, invd_ref,
+    e2_ref, c_ref,
+    w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
+    loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
+    *, S, white_bkgd, compute_dtype, use_feats, x_pad,
+):
+    """Inline-PE variant: raw per-point inputs (pts[, dirs]) arrive as a thin
+    (N, n_raw) block and the positional encoding is built in VMEM — the
+    phase matrix is one MXU matmul (sin and cos columns share it via a π/2
+    phase offset), so the (N, 128+) encoded block never exists in HBM. The
+    first trunk layer's rows are pre-permuted to this layout (pack_params
+    row_perm)."""
+    raw = raw_ref[:]  # (N, n_raw): [pts | dirs?]
+    phases = (
+        jnp.dot(raw, e2_ref[:], preferred_element_type=jnp.float32) + c_ref[:]
+    )
+    blocks = [raw, jnp.sin(phases)]
+    d_used = raw.shape[1] + phases.shape[1]
+    if use_feats:
+        blocks.append(feats_ref[:])
+        d_used += feats_ref.shape[1]
+    if x_pad > d_used:
+        blocks.append(jnp.zeros((raw.shape[0], x_pad - d_used), raw.dtype))
+    x = jnp.concatenate(blocks, axis=1)
+    _objective_body(
+        x, z_ref, dnorm_ref, tgt_ref, mask_ref, invd_ref,
+        w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
+        loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
+        S=S, white_bkgd=white_bkgd, compute_dtype=compute_dtype,
+    )
+
+
+def pe_layout(pos_freq: int, dir_freq: int, use_viewdirs: bool,
+              feat_dim: int):
+    """Host-side constants for the inline-PE layout.
+
+    Kernel X layout: [pts(3) | dirs(3)? | sin(phases) | feats | pad] where
+    phases = raw @ E2 + C covers, in order, sin-pos, cos-pos (π/2 offset),
+    sin-dir, cos-dir columns, each grouped (3 dims per frequency).
+
+    Returns (row_perm, E2 (n_raw, n_phase), C (1, n_phase), x_dim) with
+    row_perm mapping kernel-layout row → canonical NeRFMLP input row.
+    """
+    import numpy as np
+
+    n_raw = 6 if use_viewdirs else 3
+    P, Dq = pos_freq, (dir_freq if use_viewdirs else 0)
+    n_phase = 6 * P + 6 * Dq
+    E2 = np.zeros((n_raw, n_phase), np.float32)
+    C = np.zeros((1, n_phase), np.float32)
+    half = np.float32(np.pi / 2)
+
+    canon_pos = 0  # canonical pos block start
+    canon_dir = 3 * (2 * P + 1)  # canonical dir block start
+    perm = []
+    # raw columns
+    perm += [canon_pos + d for d in range(3)]
+    if use_viewdirs:
+        perm += [canon_dir + d for d in range(3)]
+    col = 0
+    # sin-pos, cos-pos
+    for trig in range(2):  # 0=sin, 1=cos
+        for f in range(P):
+            for d in range(3):
+                E2[d, col] = 2.0 ** f
+                C[0, col] = half * trig
+                perm.append(canon_pos + 3 + 6 * f + 3 * trig + d)
+                col += 1
+    if use_viewdirs:
+        for trig in range(2):
+            for f in range(Dq):
+                for d in range(3):
+                    E2[3 + d, col] = 2.0 ** f
+                    C[0, col] = half * trig
+                    perm.append(canon_dir + 3 + 6 * f + 3 * trig + d)
+                    col += 1
+    canon_feat = canon_dir + 3 * (2 * Dq + 1)
+    perm += [canon_feat + k for k in range(feat_dim)]
+    x_dim = n_raw + n_phase + feat_dim
+    return np.asarray(perm, np.int32), E2, C, x_dim
+
+
+def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
+                   packed, white_bkgd, interpret, compute_dtype, use_feats):
+    w0, b0, wh, bh, wout, bout = packed
+    R, S = z.shape
+    N, n_raw = raw.shape
+    assert N == R * S
+    H = w0.shape[1]
+    D = w0.shape[0]  # padded x width
+    L1 = wh.shape[0]
+    max_pts = max(BWD_STASH_BUDGET // ((L1 + 2) * H * 4), S)
+    R_T = max(min(max_pts // S, R), 1)
+    while R % R_T != 0:
+        R_T -= 1
+    n_tiles = R // R_T
+    n_phase = e2.shape[1]
+    Fd = feats.shape[1]
+
+    kernel = functools.partial(
+        _train_pe_kernel, S=S, white_bkgd=white_bkgd,
+        compute_dtype=compute_dtype, use_feats=use_feats, x_pad=D,
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    tile2 = lambda w: pl.BlockSpec(
+        (R_T * S, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            tile2(n_raw),
+            tile2(Fd),
+            pl.BlockSpec((R_T, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_T, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            full((n_raw, n_phase)),
+            full((1, n_phase)),
+            full((D, H)),
+            full((1, H)),
+            full((L1, H, H)),
+            full((L1, H)),
+            full((H, OUT_PAD)),
+            full((1, OUT_PAD)),
+        ],
+        out_specs=[
+            full((1, 1)),
+            full((D, H)),
+            full((1, H)),
+            full((L1, H, H)),
+            full((L1, H)),
+            full((H, OUT_PAD)),
+            full((1, OUT_PAD)),
+        ],
+    )
+    loss, dw0, db0, dwh, dbh, dwout, dbout = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), raw.dtype),
+            jax.ShapeDtypeStruct(w0.shape, raw.dtype),
+            jax.ShapeDtypeStruct((1, H), raw.dtype),
+            jax.ShapeDtypeStruct(wh.shape, raw.dtype),
+            jax.ShapeDtypeStruct(bh.shape, raw.dtype),
+            jax.ShapeDtypeStruct(wout.shape, raw.dtype),
+            jax.ShapeDtypeStruct((1, OUT_PAD), raw.dtype),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
+      w0, b0, wh, bh, wout, bout)
+    return loss[0, 0], (dw0, db0, dwh, dbh, dwout, dbout)
 
 
 def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
@@ -202,6 +375,7 @@ def fused_train_loss_grad(
     interpret: bool = False,
     compute_dtype: str = "float32",
     denom_rays: Optional[jnp.ndarray] = None,
+    inline_pe: bool = True,
 ) -> Tuple[jnp.ndarray, dict]:
     """(masked-MSE loss, param-gradient tree) in one fused kernel pass.
 
@@ -225,12 +399,40 @@ def fused_train_loss_grad(
     dino = None
     if point_features_fn is not None:
         dino = point_features_fn(pts.reshape(-1, 3))
-    x = encode_points(pts, rays_d, pos_freq, dir_freq, use_viewdirs, dino)
     dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     if denom_rays is None:
         denom_rays = jnp.sum(mask)
     inv_denom = (1.0 / (3.0 * jnp.maximum(denom_rays, 1.0))).reshape(1, 1)
 
+    if inline_pe:
+        feat_dim = 0 if dino is None else dino.shape[-1]
+        perm, e2, c, x_dim = pe_layout(
+            pos_freq, dir_freq, use_viewdirs, feat_dim
+        )
+        d_pad = -(-x_dim // 128) * 128
+        packed, pack_vjp = jax.vjp(
+            lambda p: pack_params(p, num_layers, hidden_dim, lora_alpha,
+                                  d_pad=d_pad, row_perm=perm),
+            params,
+        )
+        R, S = z.shape
+        raw_blocks = [pts.reshape(-1, 3)]
+        if use_viewdirs:
+            raw_blocks.append(
+                jnp.broadcast_to(rays_d[:, None, :], (R, S, 3)).reshape(-1, 3)
+            )
+        raw = jnp.concatenate(raw_blocks, axis=-1)
+        feats = dino if dino is not None else jnp.zeros((raw.shape[0], 8),
+                                                        raw.dtype)
+        loss, dpacked = _train_pe_call(
+            raw, feats, z, dnorm, target, mask[:, None], inv_denom,
+            jnp.asarray(e2), jnp.asarray(c), packed, settings.white_bkgd,
+            interpret, compute_dtype, use_feats=dino is not None,
+        )
+        grads = pack_vjp(dpacked)[0]
+        return loss, grads
+
+    x = encode_points(pts, rays_d, pos_freq, dir_freq, use_viewdirs, dino)
     d_pad = x.shape[-1]
     packed, pack_vjp = jax.vjp(
         lambda p: pack_params(p, num_layers, hidden_dim, lora_alpha,
