@@ -98,6 +98,24 @@ def test_dino_conditioned_training_runs(scene_data, tmp_path):
     assert np.isfinite(m["psnr"])
 
 
+def test_hierarchical_training_converges(scene_data, tmp_path):
+    """First-class coarse+fine importance sampling (the reference implements
+    the sampler but never wires it in — SURVEY.md §0.3): training with
+    rendering.n_importance > 0 runs end-to-end and improves eval PSNR."""
+    train, test = scene_data
+    cfg = small_config(
+        tmp_path, epochs=12,
+        rendering={"chunk_size": 576, "white_bkgd": True, "n_importance": 24},
+    )
+    tr = Trainer(cfg, train, test)
+    m0 = tr.evaluate(max_views=1)
+    for e in range(12):
+        loss = tr.train_epoch(e)
+    m1 = tr.evaluate(max_views=1)
+    assert np.isfinite(loss)
+    assert m1["psnr"] > m0["psnr"] + 2.0, (m0, m1)
+
+
 def test_blender_io_roundtrip(scene_data, tmp_path):
     train, _ = scene_data
     base = str(tmp_path / "scene")

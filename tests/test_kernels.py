@@ -129,6 +129,49 @@ def test_fused_param_gradients_match_xla(lora_rank):
         )
 
 
+def test_fused_hierarchical_matches_xla_pipeline():
+    """Coarse+fine rendering: the fused backend (two kernel calls with the
+    importance sampler between them) must match the XLA pipeline, values and
+    parameter gradients, when sampling is deterministic (perturb off — the
+    backends split PRNG keys differently, so only the deterministic path is
+    comparable point-for-point)."""
+    from nerf_fewshot_tpu.render.fused import fused_render_rays
+    from nerf_fewshot_tpu.render.pipeline import RenderSettings, render_rays
+
+    model, params, rays_o, rays_d, _ = setup()
+    settings = RenderSettings(
+        near=2.0, far=6.0, n_samples=S, n_importance=S, perturb=False
+    )
+    tgt = jnp.asarray(RNG.uniform(0, 1, (R, 3)).astype(np.float32))
+
+    def loss_xla(p):
+        def model_fn(pts, dirs, dino):
+            return model.apply({"params": p}, pts, dirs)
+
+        out = render_rays(model_fn, rays_o, rays_d, settings, key=None)
+        return jnp.mean((out.rgb - tgt) ** 2), out
+
+    def loss_fused(p):
+        out = fused_render_rays(
+            p, rays_o, rays_d, settings, pos_freq=POS_FREQ,
+            dir_freq=DIR_FREQ, num_layers=N_LAYERS, hidden_dim=HIDDEN,
+            key=None, tile_rays=8, interpret=True,
+        )
+        return jnp.mean((out.rgb - tgt) ** 2), out
+
+    (l1, o1), g1 = jax.value_and_grad(loss_xla, has_aux=True)(params)
+    (l2, o2), g2 = jax.value_and_grad(loss_fused, has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(o2.rgb), np.asarray(o1.rgb),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o2.depth), np.asarray(o1.depth),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4)
+
+
 def test_fused_acc_gradient_white_bkgd():
     """White-background couples rgb to acc; gradient path must survive."""
     model, params, rays_o, rays_d, z = setup(white_bkgd=True)
