@@ -239,6 +239,27 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
 
 
+def _pick_tile_rays(R: int, cap: int) -> int:
+    """Largest ray-tile R_T ≤ cap with R % R_T == 0 that satisfies Mosaic's
+    block rule: the sublane dim of an (R_T, S) block must be divisible by 8
+    (or equal the full array dim). ``cap`` is a VMEM-budget heuristic, not a
+    hard bound — when it falls below 8 the tile is rounded *up* to 8 (the
+    scoped-VMEM ceiling is far above the stash budget)."""
+    cap = max(min(cap, R), 1)
+    if R % 8 == 0:
+        rt = max((cap // 8) * 8, 8)
+        while R % rt != 0:
+            rt -= 8  # terminates: 8 always divides R here
+        return rt
+    # Odd R (small test shapes): a single full-array block is always legal.
+    rt = cap
+    while R % rt != 0 or (rt % 8 != 0 and rt != R):
+        rt -= 1
+        if rt == 0:
+            return R
+    return rt
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12)
 )
@@ -271,9 +292,7 @@ def _fused_fwd_impl(
     compute_dtype="float32",
 ):
     R, S, H = _check_shapes(x, z, dnorm, w0, wh, wout)
-    R_T = min(tile_rays, R)
-    while R % R_T != 0:
-        R_T -= 1
+    R_T = _pick_tile_rays(R, tile_rays)
     n_tiles = R // R_T
     L1 = wh.shape[0]
 
@@ -338,9 +357,7 @@ def _fused_bwd_rule(white_bkgd, tile_rays, interpret, compute_dtype, res, g):
     L_total = wh.shape[0] + 2
     budget = BWD_STASH_BUDGET
     max_pts = max(budget // (L_total * H * 4), S)
-    R_T = max(min(max_pts // S, tile_rays, R), 1)
-    while R % R_T != 0:
-        R_T -= 1
+    R_T = _pick_tile_rays(R, min(max_pts // S, tile_rays))
     n_tiles = R // R_T
     L1 = wh.shape[0]
 

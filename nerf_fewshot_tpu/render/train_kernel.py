@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nerf_fewshot_tpu.ops.sampling import sample_along_rays
+from nerf_fewshot_tpu.ops.sampling import hierarchical_sample, sample_along_rays
 from nerf_fewshot_tpu.render.fused import encode_points
 from nerf_fewshot_tpu.render.kernels import (
     BWD_STASH_BUDGET,
@@ -33,7 +33,9 @@ from nerf_fewshot_tpu.render.kernels import (
     _compiler_params,
     _composite,
     _dot,
+    _fused_fwd_impl,
     _mlp_forward,
+    _pick_tile_rays,
     _tri_after,
     pack_params,
 )
@@ -228,9 +230,7 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
     D = w0.shape[0]  # padded x width
     L1 = wh.shape[0]
     max_pts = max(BWD_STASH_BUDGET // ((L1 + 2) * H * 4), S)
-    R_T = max(min(max_pts // S, R), 1)
-    while R % R_T != 0:
-        R_T -= 1
+    R_T = _pick_tile_rays(R, max_pts // S)
     n_tiles = R // R_T
     n_phase = e2.shape[1]
     Fd = feats.shape[1]
@@ -301,9 +301,7 @@ def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
     L1 = wh.shape[0]
     L_total = L1 + 2
     max_pts = max(BWD_STASH_BUDGET // (L_total * H * 4), S)
-    R_T = max(min(max_pts // S, R), 1)
-    while R % R_T != 0:
-        R_T -= 1
+    R_T = _pick_tile_rays(R, max_pts // S)
     n_tiles = R // R_T
 
     kernel = functools.partial(
@@ -386,20 +384,49 @@ def fused_train_loss_grad(
     ``denom_rays`` overrides the normalizer (defaults to the local Σmask) —
     under data parallelism pass the *global* valid-ray count so per-shard
     losses/grads psum to the exact global masked mean.
-    """
-    assert settings.noise_std == 0.0 and settings.n_importance == 0
-    k_strat = key if settings.perturb else None
-    if k_strat is not None:
-        k_strat, _ = jax.random.split(k_strat)
 
+    Hierarchical coarse+fine (``settings.n_importance > 0``) runs as two
+    kernel dispatches: a forward-only coarse pass (its weights feed the
+    inverse-CDF sampler under stop-gradient — standard NeRF semantics,
+    pipeline.render_rays:131) and this single-pass objective kernel over the
+    merged coarse+fine sample set. Versus autodiff through the fused
+    renderer this saves the standalone fine forward entirely.
+    """
+    assert settings.noise_std == 0.0
+    k_strat = k_imp = None
+    if key is not None and settings.perturb:
+        k_strat, k_imp = jax.random.split(key)
+
+    dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     pts, z = sample_along_rays(
         rays_o, rays_d, settings.near, settings.far, settings.n_samples,
         key=k_strat, lindisp=settings.lindisp,
     )
+
+    if settings.n_importance > 0:
+        # Coarse pass: no gradients are needed (the sampling distribution is
+        # stop-gradient), so call the raw forward kernel — no VJP residuals.
+        dino_c = None
+        if point_features_fn is not None:
+            dino_c = point_features_fn(pts.reshape(-1, 3))
+        x_c = encode_points(
+            pts, rays_d, pos_freq, dir_freq, use_viewdirs, dino_c
+        )
+        packed_c = pack_params(
+            jax.lax.stop_gradient(params), num_layers, hidden_dim,
+            lora_alpha, d_pad=x_c.shape[-1],
+        )
+        _, _, _, weights_c = _fused_fwd_impl(
+            x_c, z, dnorm, *packed_c, settings.white_bkgd, 64, interpret,
+            compute_dtype,
+        )
+        pts, z = hierarchical_sample(
+            rays_o, rays_d, z, weights_c, settings.n_importance, key=k_imp
+        )
+
     dino = None
     if point_features_fn is not None:
         dino = point_features_fn(pts.reshape(-1, 3))
-    dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     if denom_rays is None:
         denom_rays = jnp.sum(mask)
     inv_denom = (1.0 / (3.0 * jnp.maximum(denom_rays, 1.0))).reshape(1, 1)

@@ -300,10 +300,7 @@ class Trainer:
 
         # Single-pass fused objective kernel: eligible when the loss is the
         # strict-reference rgb MSE and the fused renderer applies.
-        use_train_kernel = (
-            self._use_fused() and rgb_only
-            and cfg.rendering.n_importance == 0
-        )
+        use_train_kernel = self._use_fused() and rgb_only
 
         def loss_and_grad(params, key, ro, rd, tgt, mask, feat_map, feat_pose):
             if use_train_kernel:

@@ -193,3 +193,16 @@ def test_fused_acc_gradient_white_bkgd():
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_pick_tile_rays_mosaic_rule():
+    """Ray-tile sizes must divide R and satisfy Mosaic's sublane rule
+    (multiple of 8, or the full array). Regression: R=1024, S=96 (merged
+    hierarchical samples) used to pick R_T=4 → TPU lowering error."""
+    from nerf_fewshot_tpu.render.kernels import _pick_tile_rays
+
+    for R in (1024, 2048, 16, 24, 12, 7):
+        for cap in (1, 4, 6, 9, 64, 4096):
+            rt = _pick_tile_rays(R, cap)
+            assert R % rt == 0, (R, cap, rt)
+            assert rt % 8 == 0 or rt == R, (R, cap, rt)

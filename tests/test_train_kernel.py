@@ -65,6 +65,55 @@ def test_train_kernel_matches_autodiff(white_bkgd, with_mask):
         )
 
 
+@pytest.mark.parametrize("perturb", [False, True])
+def test_train_kernel_hierarchical_matches_autodiff(perturb):
+    """n_importance > 0: coarse forward-only kernel → importance sampler →
+    single-pass objective kernel must equal autodiff through the fused
+    renderer (which runs a separate fine forward + VJP backward). Both
+    backends share the coarse kernel bitwise, so the merged fine sample set
+    is identical and the comparison is exact up to PE float association.
+    With perturb both paths must split the PRNG key identically."""
+    from nerf_fewshot_tpu.render.fused import fused_render_rays
+
+    model = NeRFMLP(pos_freq=POS_FREQ, dir_freq=DIR_FREQ, use_viewdirs=True,
+                    hidden_dim=HIDDEN, num_layers=NL, sigma_bias_init=0.1)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )["params"]
+    ro = jnp.asarray(RNG.standard_normal((R, 3)).astype(np.float32))
+    rd = jnp.asarray(RNG.standard_normal((R, 3)).astype(np.float32))
+    tgt = jnp.asarray(RNG.uniform(0, 1, (R, 3)).astype(np.float32))
+    settings = RenderSettings(near=2.0, far=6.0, n_samples=S,
+                              n_importance=S, perturb=perturb)
+    key = jax.random.key(7) if perturb else None
+
+    def autodiff_loss(p):
+        out = fused_render_rays(
+            p, ro, rd, settings, pos_freq=POS_FREQ, dir_freq=DIR_FREQ,
+            num_layers=NL, hidden_dim=HIDDEN, key=key, tile_rays=8,
+            interpret=True,
+        )
+        return jnp.mean((out.rgb - tgt) ** 2)
+
+    want_loss, want_grads = jax.value_and_grad(autodiff_loss)(params)
+    got_loss, got_grads = fused_train_loss_grad(
+        params, ro, rd, tgt, jnp.ones((R,)), settings, POS_FREQ, DIR_FREQ,
+        NL, HIDDEN, key=key, interpret=True,
+    )
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+    flat_w = jax.tree_util.tree_flatten_with_path(want_grads)[0]
+    flat_g = dict(
+        (jax.tree_util.keystr(kp), v)
+        for kp, v in jax.tree_util.tree_flatten_with_path(got_grads)[0]
+    )
+    for kp, v in flat_w:
+        np.testing.assert_allclose(
+            np.asarray(flat_g[jax.tree_util.keystr(kp)]), np.asarray(v),
+            rtol=2e-3, atol=1e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(kp)}",
+        )
+
+
 def test_train_kernel_lora_gradients():
     """LoRA factors receive gradients through the pack merge."""
     model = NeRFMLP(pos_freq=POS_FREQ, dir_freq=DIR_FREQ, use_viewdirs=True,
