@@ -51,6 +51,12 @@ from nerf_fewshot_tpu.utils.checkpoint import restore_checkpoint, save_checkpoin
 from nerf_fewshot_tpu.utils.logging import JSONLLogger, save_png
 
 
+# Test hook: when True, Pallas-kernel eligibility ignores the backend check
+# and kernels run in interpret mode — lets CPU tests exercise the exact
+# trainer dispatch (incl. the shard_map DP kernel path) without a TPU.
+FORCE_INTERPRET_KERNELS = False
+
+
 @dataclasses.dataclass
 class PhaseData:
     """Per-phase, per-view device-resident ray data."""
@@ -173,32 +179,42 @@ class Trainer:
 
         return fn
 
-    def _use_fused(self) -> bool:
-        """Fused Pallas backend eligibility: functional NeRFMLP arch and no
-        sigma noise (strict reference behavior never applies it)."""
-        b = self.cfg.rendering.backend
-        if b == "xla":
-            return False
-        eligible = (
-            self.mesh is None  # DP path: pallas_call has no SPMD partition
-            # rule; the sharded trainer uses the XLA pipeline (fused-under-
-            # shard_map is the planned multi-chip fast path)
+    def _kernel_eligible(self) -> bool:
+        """Pallas kernel eligibility (mesh-independent): functional NeRFMLP
+        arch, 128-lane-aligned width, no sigma noise (strict reference
+        behavior never applies it), TPU backend (or the test interpret
+        hook)."""
+        return (
+            self.cfg.rendering.backend != "xla"
             and self.cfg.nerf.arch != "module"
             and self.cfg.nerf.hidden_dim % 128 == 0
             and (
                 self.cfg.strict_reference_behavior
                 or self.cfg.rendering.noise_std == 0.0
             )
-            and jax.default_backend() in ("tpu", "axon")
+            and (
+                jax.default_backend() in ("tpu", "axon")
+                or FORCE_INTERPRET_KERNELS
+            )
         )
+
+    def _use_fused(self) -> bool:
+        """Fused Pallas *renderer* eligibility. Under a device mesh the
+        plain renderer path stays on XLA (jit sharding annotations cannot
+        partition a pallas_call); the sharded train step instead goes
+        through parallel/fused_dp's shard_map wrapper (see
+        _make_step_fn)."""
+        b = self.cfg.rendering.backend
+        if b == "xla":
+            return False
         if b == "fused":
-            if not eligible:
+            if not self._kernel_eligible():
                 raise ValueError(
                     "rendering.backend=fused requires the functional arch, "
                     "hidden_dim % 128 == 0, and no sigma noise"
                 )
-            return True
-        return eligible  # auto
+            return self.mesh is None
+        return self._kernel_eligible() and self.mesh is None  # auto
 
     def _ray_render_fn(self, params, settings: RenderSettings, key, pf):
         """(rays_o, rays_d) -> RenderOutputs on the configured backend."""
@@ -214,6 +230,7 @@ class Trainer:
                     use_viewdirs=cfg.nerf.use_viewdirs,
                     lora_alpha=cfg.nerf.lora_alpha,
                     key=key, point_features_fn=pf,
+                    interpret=FORCE_INTERPRET_KERNELS,
                     compute_dtype=cfg.rendering.compute_dtype,
                 )
 
@@ -299,10 +316,38 @@ class Trainer:
             return losses["total"], losses
 
         # Single-pass fused objective kernel: eligible when the loss is the
-        # strict-reference rgb MSE and the fused renderer applies.
-        use_train_kernel = self._use_fused() and rgb_only
+        # strict-reference rgb MSE. Under a device mesh it dispatches through
+        # parallel/fused_dp's shard_map wrapper (jit sharding annotations
+        # cannot partition a pallas_call): each device runs the kernel on its
+        # ray shard, loss/grads psum over ICI against the *global* valid-ray
+        # count. DINO conditioning under a mesh stays on the XLA path (the
+        # per-view feature closure is not plumbed through shard_map).
+        use_train_kernel = self._kernel_eligible() and rgb_only
+        interpret = FORCE_INTERPRET_KERNELS
+        dp_kernel_fn = None
+        if use_train_kernel and self.mesh is not None:
+            if use_dino:
+                use_train_kernel = False
+            else:
+                from nerf_fewshot_tpu.parallel.fused_dp import (
+                    make_dp_fused_loss_grad,
+                )
+
+                dp_kernel_fn = make_dp_fused_loss_grad(
+                    self.mesh, settings,
+                    pos_freq=cfg.nerf.pos_freq, dir_freq=cfg.nerf.dir_freq,
+                    num_layers=cfg.nerf.num_layers,
+                    hidden_dim=cfg.nerf.hidden_dim,
+                    use_viewdirs=cfg.nerf.use_viewdirs,
+                    lora_alpha=cfg.nerf.lora_alpha,
+                    interpret=interpret,
+                    compute_dtype=cfg.rendering.compute_dtype,
+                    axis_name=self.mesh.axis_names[0],
+                )
 
         def loss_and_grad(params, key, ro, rd, tgt, mask, feat_map, feat_pose):
+            if dp_kernel_fn is not None:
+                return dp_kernel_fn(params, key, ro, rd, tgt, mask)
             if use_train_kernel:
                 from nerf_fewshot_tpu.render.train_kernel import (
                     fused_train_loss_grad,
@@ -321,6 +366,7 @@ class Trainer:
                     use_viewdirs=cfg.nerf.use_viewdirs,
                     lora_alpha=cfg.nerf.lora_alpha,
                     key=key, point_features_fn=pf,
+                    interpret=interpret,
                     compute_dtype=cfg.rendering.compute_dtype,
                 )
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(

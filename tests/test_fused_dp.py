@@ -50,3 +50,53 @@ def test_dp_fused_matches_single_device():
                     jax.tree_util.tree_leaves(got_grads)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_trainer_dispatches_dp_kernel(tmp_path, monkeypatch):
+    """Trainer + device mesh + kernel-eligible config must route the train
+    step through the shard_map DP kernel (parallel/fused_dp), not XLA
+    autodiff — and train sanely through it."""
+    from nerf_fewshot_tpu.data import lego_like_scene, make_scene_dataset
+    from nerf_fewshot_tpu.training.config import config_from_dict
+    import nerf_fewshot_tpu.training.trainer as trainer_mod
+    import nerf_fewshot_tpu.parallel.fused_dp as fused_dp_mod
+
+    res = 16
+    cfg = config_from_dict({
+        "experiment": {"name": "dp-kernel"},
+        "data": {"resolution": res, "num_views": 2, "near": 2.0, "far": 6.0},
+        "nerf_model": {"pos_freq": 6, "dir_freq": 2, "hidden_dim": 128,
+                       "num_layers": 2, "sigma_bias": 0.1},
+        "training": {
+            "epochs": 2, "batch_size": 128,
+            "progressive_schedule": {
+                "epochs_0_50": [res, res, 16],
+                "epochs_50_100": [res, res, 16],
+                "epochs_100_plus": [res, res, 16],
+            },
+        },
+        "optimizer": {"lr": 5e-3, "weight_decay": 1e-6,
+                      "lr_milestones": [1000], "lr_gamma": 0.5},
+        "rendering": {"chunk_size": 256, "white_bkgd": True},
+        "output": {"save_dir": str(tmp_path), "val_freq": 1000,
+                   "save_freq": 1000},
+    })
+    scene = lego_like_scene()
+    train = make_scene_dataset(scene, n_views=2, img_size=res, gt_samples=64)
+
+    calls = []
+    orig = fused_dp_mod.make_dp_fused_loss_grad
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fused_dp_mod, "make_dp_fused_loss_grad", spy)
+    monkeypatch.setattr(trainer_mod, "FORCE_INTERPRET_KERNELS", True)
+
+    tr = trainer_mod.Trainer(cfg, train, mesh=make_mesh(8))
+    l0 = tr.train_epoch(0)
+    l1 = tr.train_epoch(1)
+    assert calls, "DP train step did not dispatch the shard_map kernel"
+    assert np.isfinite(l0) and np.isfinite(l1)
+    assert l1 < l0, (l0, l1)
