@@ -16,7 +16,13 @@ import jax.numpy as jnp
 from nerf_fewshot_tpu.ops.composite import RenderOutputs
 from nerf_fewshot_tpu.ops.encoding import positional_encoding
 from nerf_fewshot_tpu.ops.sampling import hierarchical_sample, sample_along_rays
-from nerf_fewshot_tpu.render.kernels import fused_render, pack_params
+from nerf_fewshot_tpu.render.kernels import (
+    _raw_block,
+    fused_render,
+    fused_render_fwd_pe,
+    pack_params,
+    pe_layout,
+)
 from nerf_fewshot_tpu.render.pipeline import RenderSettings
 
 
@@ -66,11 +72,17 @@ def fused_render_rays(
     tile_rays: int = 64,
     interpret: bool = False,
     compute_dtype: str = "float32",
+    forward_only: bool = False,
 ) -> RenderOutputs:
     """Fused-kernel analog of pipeline.render_rays for NeRFMLP params.
 
     Constraints: noise_std must be 0 (the strict-reference trainer never
     applies it); n_rays must divide by tile_rays.
+
+    ``forward_only``: route through the no-VJP inline-PE forward kernel —
+    the positional encoding is built in VMEM and the encoded block never
+    exists in HBM. For no-gradient contexts only (eval rendering); the
+    result is NOT differentiable w.r.t. params.
     """
     assert settings.noise_std == 0.0, "fused backend: sigma noise unsupported"
     k_strat, k_imp = (None, None)
@@ -83,6 +95,27 @@ def fused_render_rays(
         dino = None
         if point_features_fn is not None:
             dino = point_features_fn(pts.reshape(-1, 3))
+        if forward_only:
+            feat_dim = 0 if dino is None else dino.shape[-1]
+            perm, e2, c, x_dim = pe_layout(
+                pos_freq, dir_freq, use_viewdirs, feat_dim
+            )
+            packed = pack_params(
+                params, num_layers, hidden_dim, lora_alpha,
+                d_pad=-(-x_dim // 128) * 128, row_perm=perm,
+            )
+            raw = _raw_block(pts, rays_d, use_viewdirs)
+            feats = dino if dino is not None else jnp.zeros(
+                (raw.shape[0], 8), raw.dtype
+            )
+            rgb, depth, acc, weights = fused_render_fwd_pe(
+                raw, feats, z, dnorm, jnp.asarray(e2), jnp.asarray(c),
+                packed, settings.white_bkgd, tile_rays, interpret,
+                compute_dtype, use_feats=dino is not None,
+            )
+            return RenderOutputs(
+                rgb=rgb, depth=depth[:, 0], acc=acc[:, 0], weights=weights
+            )
         x = encode_points(pts, rays_d, pos_freq, dir_freq, use_viewdirs, dino)
         # pad width follows the (possibly feature-extended) input dim
         packed = pack_params(

@@ -135,6 +135,112 @@ def _fwd_kernel(
     weights_ref[:] = weights
 
 
+
+def _raw_block(pts, rays_d, use_viewdirs: bool):
+    """(R, S, 3) points [+ per-sample ray dirs] -> the thin (R*S, n_raw)
+    input block consumed by the inline-PE kernels."""
+    R, S, _ = pts.shape
+    blocks = [pts.reshape(-1, 3)]
+    if use_viewdirs:
+        blocks.append(
+            jnp.broadcast_to(rays_d[:, None, :], (R, S, 3)).reshape(-1, 3)
+        )
+    return jnp.concatenate(blocks, axis=-1)
+
+
+def pe_layout(pos_freq: int, dir_freq: int, use_viewdirs: bool,
+              feat_dim: int):
+    """Host-side constants for the inline-PE layout.
+
+    Kernel X layout: [pts(3) | dirs(3)? | sin(phases) | feats | pad] where
+    phases = raw @ E2 + C covers, in order, sin-pos, cos-pos (π/2 offset),
+    sin-dir, cos-dir columns, each grouped (3 dims per frequency).
+
+    Returns (row_perm, E2 (n_raw, n_phase), C (1, n_phase), x_dim) with
+    row_perm mapping kernel-layout row → canonical NeRFMLP input row.
+    """
+    import numpy as np
+
+    n_raw = 6 if use_viewdirs else 3
+    P, Dq = pos_freq, (dir_freq if use_viewdirs else 0)
+    n_phase = 6 * P + 6 * Dq
+    E2 = np.zeros((n_raw, n_phase), np.float32)
+    C = np.zeros((1, n_phase), np.float32)
+    half = np.float32(np.pi / 2)
+
+    canon_pos = 0  # canonical pos block start
+    canon_dir = 3 * (2 * P + 1)  # canonical dir block start
+    perm = []
+    # raw columns
+    perm += [canon_pos + d for d in range(3)]
+    if use_viewdirs:
+        perm += [canon_dir + d for d in range(3)]
+    col = 0
+    # sin-pos, cos-pos
+    for trig in range(2):  # 0=sin, 1=cos
+        for f in range(P):
+            for d in range(3):
+                E2[d, col] = 2.0 ** f
+                C[0, col] = half * trig
+                perm.append(canon_pos + 3 + 6 * f + 3 * trig + d)
+                col += 1
+    if use_viewdirs:
+        for trig in range(2):
+            for f in range(Dq):
+                for d in range(3):
+                    E2[3 + d, col] = 2.0 ** f
+                    C[0, col] = half * trig
+                    perm.append(canon_dir + 3 + 6 * f + 3 * trig + d)
+                    col += 1
+    canon_feat = canon_dir + 3 * (2 * Dq + 1)
+    perm += [canon_feat + k for k in range(feat_dim)]
+    x_dim = n_raw + n_phase + feat_dim
+    return np.asarray(perm, np.int32), E2, C, x_dim
+
+
+def _fwd_pe_kernel(
+    raw_ref, feats_ref, z_ref, dnorm_ref, e2_ref, c_ref,
+    w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
+    rgb_ref, depth_ref, acc_ref, weights_ref,
+    *, S, white_bkgd, compute_dtype, use_feats, x_pad,
+):
+    """Forward render with the positional encoding built in VMEM: the thin
+    (N, n_raw) raw block arrives from HBM, the phase matrix is one MXU
+    matmul (sin/cos share it via a π/2 offset — see train_kernel.pe_layout),
+    and the (N, 128+) encoded block never exists in HBM. Weight rows must be
+    pre-permuted with pack_params(row_perm=...)."""
+    raw = raw_ref[:]
+    phases = (
+        jnp.dot(raw, e2_ref[:], preferred_element_type=jnp.float32) + c_ref[:]
+    )
+    blocks = [raw, jnp.sin(phases)]
+    d_used = raw.shape[1] + phases.shape[1]
+    if use_feats:
+        blocks.append(feats_ref[:])
+        d_used += feats_ref.shape[1]
+    if x_pad > d_used:
+        blocks.append(jnp.zeros((raw.shape[0], x_pad - d_used), raw.dtype))
+    x = jnp.concatenate(blocks, axis=1)
+
+    R = z_ref.shape[0]
+    out, _ = _mlp_forward(
+        x, w0_ref[:], b0_ref[:], wh_ref[:], bh_ref[:], wout_ref[:],
+        bout_ref[:], compute_dtype=compute_dtype,
+    )
+    rgb_s = jax.nn.sigmoid(out[:, 0:3]).reshape(R, S, 3)
+    sigma = out[:, 3].reshape(R, S)
+    z = z_ref[:]
+    _, _, _, _, weights = _composite(sigma, z, dnorm_ref[:], white_bkgd)
+    rgb_map = jnp.sum(weights[..., None] * rgb_s, axis=1)
+    acc = jnp.sum(weights, axis=1, keepdims=True)
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc)
+    rgb_ref[:] = rgb_map
+    depth_ref[:] = jnp.sum(weights * z, axis=1, keepdims=True)
+    acc_ref[:] = acc
+    weights_ref[:] = weights
+
+
 def _bwd_kernel(
     x_ref, z_ref, dnorm_ref, w0_ref, b0_ref, wh_ref, bh_ref, wout_ref,
     bout_ref, g_rgb_ref, g_depth_ref, g_acc_ref, g_weights_ref,
@@ -232,7 +338,11 @@ def _check_shapes(x, z, dnorm, w0, wh, wout):
 # Empirically tuned on v5e: raise the scoped-VMEM ceiling above the 16 MiB
 # default so larger ray tiles fit (v5e cores have far more physical VMEM).
 VMEM_LIMIT = 100 * 1024 * 1024
-BWD_STASH_BUDGET = 6 * 1024 * 1024
+# Activation-stash budget for the backward/train kernels: sets the ray-tile
+# size via R_T ≈ budget / ((L+2)·H·4·S). Sweep at flagship shapes (2048×64,
+# 8×256 trunk, v5e): 6MB/R_T=8 → 3.95 ms/step, 12MB/R_T=16 → 3.44 (best),
+# 24MB/R_T=32 → 4.04, 48MB/R_T=64 → 3.82.
+BWD_STASH_BUDGET = 12 * 1024 * 1024
 
 
 def _compiler_params():
@@ -336,6 +446,75 @@ def _fused_fwd_impl(
         interpret=interpret,
     )(x, z, dnorm, w0, b0, wh, bh, wout, bout)
     return rgb, depth, acc, weights
+
+
+def fused_render_fwd_pe(
+    raw, feats, z, dnorm, e2, c, packed, white_bkgd=False, tile_rays=64,
+    interpret=False, compute_dtype="float32", use_feats=False,
+):
+    """Forward-only inline-PE render: (rgb, depth, acc, weights).
+
+    No custom VJP — for no-gradient contexts (eval, the hierarchical coarse
+    pass). ``raw`` is the thin (R*S, n_raw) [pts | dirs?] block; ``packed``
+    weights must use pack_params(row_perm=pe_layout(...)) so the first
+    layer's rows match the in-kernel feature order."""
+    w0, b0, wh, bh, wout, bout = packed
+    R, S = z.shape
+    N, n_raw = raw.shape
+    assert N == R * S, (N, R, S)
+    H = w0.shape[1]
+    D = w0.shape[0]
+    L1 = wh.shape[0]
+    R_T = _pick_tile_rays(R, tile_rays)
+    n_tiles = R // R_T
+    n_phase = e2.shape[1]
+    Fd = feats.shape[1]
+
+    kernel = functools.partial(
+        _fwd_pe_kernel, S=S, white_bkgd=white_bkgd,
+        compute_dtype=compute_dtype, use_feats=use_feats, x_pad=D,
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    tile2 = lambda w: pl.BlockSpec(
+        (R_T * S, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            tile2(n_raw),
+            tile2(Fd),
+            pl.BlockSpec((R_T, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full((n_raw, n_phase)),
+            full((1, n_phase)),
+            full((D, H)),
+            full((1, H)),
+            full((L1, H, H)),
+            full((L1, H)),
+            full((H, OUT_PAD)),
+            full((1, OUT_PAD)),
+        ],
+        out_specs=[
+            pl.BlockSpec((R_T, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_T, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 3), raw.dtype),
+            jax.ShapeDtypeStruct((R, 1), raw.dtype),
+            jax.ShapeDtypeStruct((R, 1), raw.dtype),
+            jax.ShapeDtypeStruct((R, S), raw.dtype),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(raw, feats, z, dnorm, e2, c, w0, b0, wh, bh, wout, bout)
 
 
 def _fused_fwd_rule(x, z, dnorm, w0, b0, wh, bh, wout, bout,

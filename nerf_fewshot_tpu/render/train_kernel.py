@@ -37,7 +37,10 @@ from nerf_fewshot_tpu.render.kernels import (
     _mlp_forward,
     _pick_tile_rays,
     _tri_after,
+    _raw_block,
+    fused_render_fwd_pe,
     pack_params,
+    pe_layout,
 )
 from nerf_fewshot_tpu.render.pipeline import RenderSettings
 
@@ -169,55 +172,6 @@ def _train_pe_kernel(
         S=S, white_bkgd=white_bkgd, compute_dtype=compute_dtype,
     )
 
-
-def pe_layout(pos_freq: int, dir_freq: int, use_viewdirs: bool,
-              feat_dim: int):
-    """Host-side constants for the inline-PE layout.
-
-    Kernel X layout: [pts(3) | dirs(3)? | sin(phases) | feats | pad] where
-    phases = raw @ E2 + C covers, in order, sin-pos, cos-pos (π/2 offset),
-    sin-dir, cos-dir columns, each grouped (3 dims per frequency).
-
-    Returns (row_perm, E2 (n_raw, n_phase), C (1, n_phase), x_dim) with
-    row_perm mapping kernel-layout row → canonical NeRFMLP input row.
-    """
-    import numpy as np
-
-    n_raw = 6 if use_viewdirs else 3
-    P, Dq = pos_freq, (dir_freq if use_viewdirs else 0)
-    n_phase = 6 * P + 6 * Dq
-    E2 = np.zeros((n_raw, n_phase), np.float32)
-    C = np.zeros((1, n_phase), np.float32)
-    half = np.float32(np.pi / 2)
-
-    canon_pos = 0  # canonical pos block start
-    canon_dir = 3 * (2 * P + 1)  # canonical dir block start
-    perm = []
-    # raw columns
-    perm += [canon_pos + d for d in range(3)]
-    if use_viewdirs:
-        perm += [canon_dir + d for d in range(3)]
-    col = 0
-    # sin-pos, cos-pos
-    for trig in range(2):  # 0=sin, 1=cos
-        for f in range(P):
-            for d in range(3):
-                E2[d, col] = 2.0 ** f
-                C[0, col] = half * trig
-                perm.append(canon_pos + 3 + 6 * f + 3 * trig + d)
-                col += 1
-    if use_viewdirs:
-        for trig in range(2):
-            for f in range(Dq):
-                for d in range(3):
-                    E2[3 + d, col] = 2.0 ** f
-                    C[0, col] = half * trig
-                    perm.append(canon_dir + 3 + 6 * f + 3 * trig + d)
-                    col += 1
-    canon_feat = canon_dir + 3 * (2 * Dq + 1)
-    perm += [canon_feat + k for k in range(feat_dim)]
-    x_dim = n_raw + n_phase + feat_dim
-    return np.asarray(perm, np.int32), E2, C, x_dim
 
 
 def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
@@ -405,21 +359,41 @@ def fused_train_loss_grad(
 
     if settings.n_importance > 0:
         # Coarse pass: no gradients are needed (the sampling distribution is
-        # stop-gradient), so call the raw forward kernel — no VJP residuals.
+        # stop-gradient), so call a forward-only kernel — no VJP residuals.
         dino_c = None
         if point_features_fn is not None:
             dino_c = point_features_fn(pts.reshape(-1, 3))
-        x_c = encode_points(
-            pts, rays_d, pos_freq, dir_freq, use_viewdirs, dino_c
-        )
-        packed_c = pack_params(
-            jax.lax.stop_gradient(params), num_layers, hidden_dim,
-            lora_alpha, d_pad=x_c.shape[-1],
-        )
-        _, _, _, weights_c = _fused_fwd_impl(
-            x_c, z, dnorm, *packed_c, settings.white_bkgd, 64, interpret,
-            compute_dtype,
-        )
+        frozen = jax.lax.stop_gradient(params)
+        if inline_pe:
+            feat_dim = 0 if dino_c is None else dino_c.shape[-1]
+            perm, e2, c, x_dim = pe_layout(
+                pos_freq, dir_freq, use_viewdirs, feat_dim
+            )
+            packed_c = pack_params(
+                frozen, num_layers, hidden_dim, lora_alpha,
+                d_pad=-(-x_dim // 128) * 128, row_perm=perm,
+            )
+            raw_c = _raw_block(pts, rays_d, use_viewdirs)
+            feats_c = dino_c if dino_c is not None else jnp.zeros(
+                (raw_c.shape[0], 8), raw_c.dtype
+            )
+            _, _, _, weights_c = fused_render_fwd_pe(
+                raw_c, feats_c, z, dnorm, jnp.asarray(e2), jnp.asarray(c),
+                packed_c, settings.white_bkgd, interpret=interpret,
+                compute_dtype=compute_dtype, use_feats=dino_c is not None,
+            )
+        else:
+            x_c = encode_points(
+                pts, rays_d, pos_freq, dir_freq, use_viewdirs, dino_c
+            )
+            packed_c = pack_params(
+                frozen, num_layers, hidden_dim, lora_alpha,
+                d_pad=x_c.shape[-1],
+            )
+            _, _, _, weights_c = _fused_fwd_impl(
+                x_c, z, dnorm, *packed_c, settings.white_bkgd, 64, interpret,
+                compute_dtype,
+            )
         pts, z = hierarchical_sample(
             rays_o, rays_d, z, weights_c, settings.n_importance, key=k_imp
         )
@@ -442,13 +416,7 @@ def fused_train_loss_grad(
                                   d_pad=d_pad, row_perm=perm),
             params,
         )
-        R, S = z.shape
-        raw_blocks = [pts.reshape(-1, 3)]
-        if use_viewdirs:
-            raw_blocks.append(
-                jnp.broadcast_to(rays_d[:, None, :], (R, S, 3)).reshape(-1, 3)
-            )
-        raw = jnp.concatenate(raw_blocks, axis=-1)
+        raw = _raw_block(pts, rays_d, use_viewdirs)
         feats = dino if dino is not None else jnp.zeros((raw.shape[0], 8),
                                                         raw.dtype)
         loss, dpacked = _train_pe_call(

@@ -216,8 +216,12 @@ class Trainer:
             return self.mesh is None
         return self._kernel_eligible() and self.mesh is None  # auto
 
-    def _ray_render_fn(self, params, settings: RenderSettings, key, pf):
-        """(rays_o, rays_d) -> RenderOutputs on the configured backend."""
+    def _ray_render_fn(self, params, settings: RenderSettings, key, pf,
+                       forward_only: bool = False):
+        """(rays_o, rays_d) -> RenderOutputs on the configured backend.
+
+        ``forward_only`` (eval rendering): use the no-VJP inline-PE forward
+        kernel — not differentiable w.r.t. params."""
         if self._use_fused():
             cfg = self.cfg
 
@@ -232,6 +236,7 @@ class Trainer:
                     key=key, point_features_fn=pf,
                     interpret=FORCE_INTERPRET_KERNELS,
                     compute_dtype=cfg.rendering.compute_dtype,
+                    forward_only=forward_only,
                 )
 
             return fn
@@ -518,7 +523,9 @@ class Trainer:
                 pf = _feature_sampler(
                     feat_map, feat_pose, self.focal, self.H, self.W
                 )
-            out = self._ray_render_fn(params, settings, None, pf)(ro, rd)
+            out = self._ray_render_fn(
+                params, settings, None, pf, forward_only=True
+            )(ro, rd)
             return out.rgb, out.depth, out.acc
 
         fn = jax.jit(chunk)

@@ -144,3 +144,29 @@ def test_blender_focal_reference_quirk(scene_data, tmp_path):
                         focal_convention="physical")
     scale = half / train.W
     assert ref.focal == pytest.approx(phys.focal * scale, rel=1e-5)
+
+
+def test_fused_eval_matches_xla_eval(scene_data, tmp_path, monkeypatch):
+    """Eval rendering through the forward-only inline-PE kernel (interpret
+    mode via the test hook) must agree with the XLA-backend eval on the
+    same fresh params."""
+    import nerf_fewshot_tpu.training.trainer as trainer_mod
+
+    train, test = scene_data
+    nerf = {"pos_freq": 8, "dir_freq": 2, "hidden_dim": 128,
+            "num_layers": 2, "sigma_bias": 0.1}
+    monkeypatch.setattr(trainer_mod, "FORCE_INTERPRET_KERNELS", True)
+
+    cfg_fused = small_config(tmp_path, epochs=1, nerf_model=dict(nerf))
+    tr_fused = Trainer(cfg_fused, train, test)
+    assert tr_fused._use_fused(), "hook should make the fused backend eligible"
+    m_fused = tr_fused.evaluate(max_views=1)
+
+    cfg_xla = small_config(
+        tmp_path, epochs=1, nerf_model=dict(nerf),
+        rendering={"chunk_size": 576, "white_bkgd": True, "backend": "xla"},
+    )
+    tr_xla = Trainer(cfg_xla, train, test)
+    m_xla = tr_xla.evaluate(max_views=1)
+    assert abs(m_fused["psnr"] - m_xla["psnr"]) < 1e-2, (m_fused, m_xla)
+    assert abs(m_fused["ssim"] - m_xla["ssim"]) < 1e-3, (m_fused, m_xla)

@@ -206,3 +206,36 @@ def test_pick_tile_rays_mosaic_rule():
             rt = _pick_tile_rays(R, cap)
             assert R % rt == 0, (R, cap, rt)
             assert rt % 8 == 0 or rt == R, (R, cap, rt)
+
+
+def test_fwd_pe_kernel_matches_canonical_forward():
+    """Inline-PE forward kernel == canonical encode_points + forward kernel
+    (values; same weights, row-permuted)."""
+    import jax
+    from nerf_fewshot_tpu.render.fused import encode_points
+    from nerf_fewshot_tpu.render.kernels import (
+        fused_render_fwd_pe, pack_params,
+    )
+    from nerf_fewshot_tpu.render.train_kernel import _raw_block, pe_layout
+    from nerf_fewshot_tpu.ops.sampling import sample_along_rays
+
+    model, params, rays_o, rays_d, _ = setup()
+    pts, z = sample_along_rays(rays_o, rays_d, 2.0, 6.0, S, key=None)
+    dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    x = encode_points(pts, rays_d, POS_FREQ, DIR_FREQ, True, None)
+    packed = pack_params(params, N_LAYERS, HIDDEN, d_pad=x.shape[-1])
+    from nerf_fewshot_tpu.render.kernels import _fused_fwd_impl
+    want = _fused_fwd_impl(x, z, dnorm, *packed, False, 8, True)
+
+    perm, e2, c, x_dim = pe_layout(POS_FREQ, DIR_FREQ, True, 0)
+    packed_pe = pack_params(params, N_LAYERS, HIDDEN,
+                            d_pad=-(-x_dim // 128) * 128, row_perm=perm)
+    raw = _raw_block(pts, rays_d, True)
+    feats = jnp.zeros((raw.shape[0], 8), raw.dtype)
+    got = fused_render_fwd_pe(raw, feats, z, dnorm, jnp.asarray(e2),
+                              jnp.asarray(c), packed_pe, False, tile_rays=8,
+                              interpret=True)
+    for a, b, name in zip(want, got, ("rgb", "depth", "acc", "weights")):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4,
+                                   atol=1e-5, err_msg=name)
