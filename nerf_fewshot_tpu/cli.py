@@ -87,7 +87,10 @@ def cmd_train(args) -> None:
         test_data,
         dino_features=dino_features,
         mesh=mesh,
-        log_path=os.path.join(cfg.output.save_dir, "log.jsonl"),
+        log_path=os.path.join(
+            cfg.output.save_dir,
+            "log.csv" if cfg.output.log_format == "csv" else "log.jsonl",
+        ),
     )
     if args.resume:
         trainer.load(args.resume)

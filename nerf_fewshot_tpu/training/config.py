@@ -130,6 +130,9 @@ class OutputConfig:
     val_freq: int = 10
     save_freq: int = 50
     log_freq: int = 1
+    # 'jsonl' (default) or 'csv' (the reference's hand-rolled loss CSV,
+    # train_dino_lora_pose.py:65,129-131).
+    log_format: str = "jsonl"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -303,6 +306,7 @@ def config_from_dict(d: Dict[str, Any]) -> Config:
         val_freq=int(pick((out_d, "val_freq"), default=10)),
         save_freq=int(pick((out_d, "save_freq"), default=50)),
         log_freq=int(pick((out_d, "log_freq"), default=1)),
+        log_format=str(pick((out_d, "log_format"), default="jsonl")),
     )
     return Config(
         name=str(exp.get("name", "experiment")),

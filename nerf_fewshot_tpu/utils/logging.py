@@ -1,13 +1,16 @@
 """Structured training observability.
 
 The reference's observability is prints + a wandb run + a hand-rolled CSV
-(SURVEY.md §5.5). Here: a JSONL sink (one dict per line, machine-parseable),
-an optional wandb mirror when the package + credentials exist, and PNG image
-dumps via PIL.
+loss log (reference: train_dino_lora_pose.py:65,129-131; SURVEY.md §5.5).
+Here: a JSONL sink (one dict per line, machine-parseable) — or a CSV sink
+when the log path ends in ``.csv`` (header from the first record, one row
+per record, matching the reference variant's format) — an optional wandb
+mirror when the package + credentials exist, and PNG image dumps via PIL.
 """
 
 from __future__ import annotations
 
+import csv
 import json
 import os
 import time
@@ -22,9 +25,13 @@ class JSONLLogger:
                  config: Optional[Dict] = None):
         self.path = path
         self._fh = None
+        self._csv = None
+        self._csv_fields: Optional[list] = None
         if path:
             os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-            self._fh = open(path, "a")
+            self._fh = open(path, "a", newline="" if path.endswith(".csv") else None)
+            if path.endswith(".csv"):
+                self._csv = csv.writer(self._fh)
         self._wandb = None
         if use_wandb:  # pragma: no cover - needs credentials
             try:
@@ -39,7 +46,16 @@ class JSONLLogger:
     def log(self, record: Dict[str, Any]) -> None:
         record = dict(record)
         record.setdefault("time", time.time())
-        if self._fh:
+        if self._csv is not None:
+            if self._csv_fields is None:
+                self._csv_fields = sorted(record)
+                self._csv.writerow(self._csv_fields)
+            self._csv.writerow(
+                [float(record[k]) if isinstance(record.get(k), (int, float))
+                 else record.get(k, "") for k in self._csv_fields]
+            )
+            self._fh.flush()
+        elif self._fh:
             self._fh.write(json.dumps(record, default=float) + "\n")
             self._fh.flush()
         if self._wandb is not None:  # pragma: no cover
