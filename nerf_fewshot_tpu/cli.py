@@ -95,7 +95,18 @@ def cmd_train(args) -> None:
     if args.resume:
         trainer.load(args.resume)
         print(f"[resume] from {args.resume} at epoch {trainer.epoch}")
-    metrics = trainer.fit()
+    if args.nan_guard:
+        from nerf_fewshot_tpu.utils.profiling import enable_nan_guard
+
+        enable_nan_guard(True)
+    if args.profile:
+        from nerf_fewshot_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            metrics = trainer.fit()
+        print(f"[profile] trace written to {args.profile}")
+    else:
+        metrics = trainer.fit()
     trainer.save(os.path.join(cfg.output.save_dir, "final.ckpt"))
     print(json.dumps({"final_metrics": metrics, "best_psnr": trainer.best_psnr}))
 
@@ -153,6 +164,12 @@ def main(argv=None) -> None:
                          help="force the procedural synthetic scene")
     p_train.add_argument("--data-parallel", action="store_true",
                          help="shard ray batches over all local devices")
+    p_train.add_argument("--profile", default=None, metavar="DIR",
+                         help="capture a jax.profiler trace of training "
+                              "(view with XProf/TensorBoard)")
+    p_train.add_argument("--nan-guard", action="store_true",
+                         help="re-run de-optimized on NaN and raise at the "
+                              "offending primitive (jax_debug_nans)")
     p_train.set_defaults(fn=cmd_train)
 
     p_eval = sub.add_parser("evaluate", help="checkpoint analysis harness")

@@ -47,12 +47,14 @@ class BlenderDataset:
 
     def white_composited(self) -> np.ndarray:
         """RGBA → RGB over white (reference: train.py:181-185); RGB passes
-        through unchanged."""
+        through unchanged. Runs through the native C++ host op when built
+        (native/nerf_native.cpp, numpy fallback otherwise; parity pinned by
+        tests/test_native.py)."""
         if self.images.shape[-1] == 3:
             return self.images
-        rgb = self.images[..., :3]
-        alpha = self.images[..., 3:4]
-        return rgb * alpha + (1.0 - alpha)
+        from nerf_fewshot_tpu import native
+
+        return native.composite_white(self.images)
 
     def few_shot(self, num_views: int) -> "BlenderDataset":
         """First-k few-shot view slice (reference: train.py:141-143)."""

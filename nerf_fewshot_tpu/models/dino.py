@@ -158,6 +158,29 @@ def build_feature_extractor(
     feature grid. Pretrained backbone weights can be merged into
     ``variables['params']['backbone']`` via models.vit.load_hf_dinov2_weights.
     """
+    if dino_cfg.model_type == "patch_embed":
+        # The standalone scripts' actual feature source: torchvision
+        # ViT-B/16 patch-embedding conv only, on a 224×224 mean/std-0.5
+        # normalized input (reference: train_baseline.py:33-40,55-64).
+        # Preprocessing (PIL resize + uint8 quantization) is host-side;
+        # the conv runs jitted.
+        from nerf_fewshot_tpu.models.vit import (
+            ViTPatchEmbed,
+            preprocess_vit_b16_input,
+        )
+
+        model = ViTPatchEmbed()
+        dummy = jnp.zeros((224, 224, 3))
+        variables = model.init(jax.random.key(0), dummy)
+
+        conv_fn = jax.jit(model.apply)
+
+        def apply(variables, image01):
+            x = preprocess_vit_b16_input(image01)
+            return conv_fn(variables, jnp.asarray(x))
+
+        return apply, variables
+
     if vit is None:
         vit = ViTConfig(
             lora_rank=dino_cfg.lora_rank if dino_cfg.use_lora else 0,

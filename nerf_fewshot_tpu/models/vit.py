@@ -190,6 +190,73 @@ def normalize_image(image: jnp.ndarray) -> jnp.ndarray:
     return (image - IMAGENET_MEAN) / IMAGENET_STD
 
 
+class ViTPatchEmbed(nn.Module):
+    """torchvision ViT-B/16 **patch-embedding-only** feature extractor — the
+    standalone scripts' actual "DINO" (reference: src/training/
+    train_baseline.py:33,55-64, train_lora.py:48,72-80): despite the naming,
+    those scripts run ``vit_b_16(...)._process_input(img)``, which is just the
+    patch-embedding conv (3→768, kernel 16, stride 16), *pre-transformer* —
+    no CLS token, no position embedding, no encoder blocks. On a 224×224
+    input this yields a 14×14×768 feature grid.
+
+    Input must already be preprocessed (resized to ``input_size`` and
+    normalized with mean/std 0.5 — see :func:`preprocess_vit_b16_input`).
+    """
+
+    hidden_dim: int = 768
+    patch_size: int = 16
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
+        p = self.patch_size
+        patches = nn.Conv(
+            features=self.hidden_dim,
+            kernel_size=(p, p),
+            strides=(p, p),
+            padding="VALID",
+            name="conv_proj",
+        )(image[None])[0]
+        return patches  # (H/p, W/p, hidden_dim)
+
+
+def preprocess_vit_b16_input(image01: np.ndarray, size: int = 224) -> np.ndarray:
+    """Host-side preprocessing matching the standalone scripts' transform
+    (reference: train_baseline.py:34-40): ``ToPILImage → Resize((224,224),
+    bilinear) → ToTensor → Normalize(mean=0.5, std=0.5)``.
+
+    ToPILImage quantizes the [0,1] float image to uint8 by truncation
+    (``mul(255).byte()``), PIL's bilinear resize re-quantizes the result —
+    both quantizations are reproduced exactly by round-tripping through PIL.
+    Returns an (size, size, 3) float32 array in [-1, 1].
+    """
+    from PIL import Image
+
+    arr = np.asarray(image01)
+    u8 = (np.clip(arr, 0.0, 1.0) * 255.0).astype(np.uint8)  # torch .byte() truncation
+    img = Image.fromarray(u8).resize((size, size), Image.BILINEAR)
+    out = np.asarray(img, np.float32) / 255.0
+    return (out - 0.5) / 0.5
+
+
+def load_torchvision_patch_embed(params, state_dict) -> Any:
+    """Map a torchvision ``vit_b_16`` state_dict's patch-embedding conv into
+    a :class:`ViTPatchEmbed` param tree (keys ``conv_proj.weight/bias``).
+    Missing keys leave the random init in place."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    if "conv_proj.weight" in state_dict:
+        w = np.asarray(state_dict["conv_proj.weight"])  # (out, in, kh, kw)
+        k = "conv_proj/kernel"
+        if k in flat and flat[k].shape == w.transpose(2, 3, 1, 0).shape:
+            flat[k] = jnp.asarray(w.transpose(2, 3, 1, 0))
+    if "conv_proj.bias" in state_dict:
+        b = np.asarray(state_dict["conv_proj.bias"])
+        if "conv_proj/bias" in flat and flat["conv_proj/bias"].shape == b.shape:
+            flat["conv_proj/bias"] = jnp.asarray(b)
+    return flax.traverse_util.unflatten_dict(flat, sep="/")
+
+
 def load_hf_dinov2_weights(params, state_dict) -> Any:
     """Map a HuggingFace ``Dinov2Model`` torch state_dict into this module's
     param tree (for parity runs when pretrained weights exist on disk).

@@ -642,6 +642,16 @@ def pack_params(params, num_layers: int, hidden_dim: int,
     whs, bhs = [], []
     for i in range(1, num_layers):
         k, b = trunk_layer(i)
+        if k.shape != (hidden_dim, hidden_dim):
+            # A skip-connection trunk (models.mlp skip_layers) widens the
+            # layer input; packing it would silently mis-shape the kernel.
+            # The trainer already rejects such configs (_kernel_ineligible_
+            # reason) — this guards direct callers.
+            raise ValueError(
+                f"pack_params requires a uniform {hidden_dim}x{hidden_dim} "
+                f"trunk; trunk_{i} kernel has shape {k.shape} (skip "
+                "connections are not supported by the fused kernels)"
+            )
         whs.append(k)
         bhs.append(b)
     wh = (

@@ -76,12 +76,27 @@ class NeRFModelConfig:
 @dataclasses.dataclass(frozen=True)
 class DINOConfig:
     use_dino: bool = False
-    model_type: str = "single_scale"  # or 'multi_scale'
+    # 'single_scale' = SpatialDINOFeatures (train.py's dino path);
+    # 'multi_scale' = MultiScaleDINOFeatures (train_multiscale.py);
+    # 'patch_embed' = torchvision ViT-B/16 patch-embedding-only conv — the
+    # standalone scripts' *actual* feature source despite their "DINO"
+    # naming (reference: train_baseline.py:33,55-64).
+    model_type: str = "single_scale"
     name: str = "facebook/dinov2-base"
     use_lora: bool = False
     lora_rank: int = 16
     lora_alpha: float = 16.0
-    output_dim: int = 64  # single_scale projects to 64; multi_scale to 128
+    output_dim: int = 64  # single_scale 64; multi_scale 128; patch_embed 768
+    # grid_sample coordinate convention when sampling feature maps at
+    # projected points: the config-driven trainer uses align_corners=False
+    # (dino_feature_model.py:135-140); the standalone scripts use True
+    # (train_lora.py:128).
+    align_corners: bool = False
+    # Features of invalid projections (behind camera / out of image):
+    # 'zeros' = grid_sample zero padding only (train.py:217-221);
+    # 'mean' = replace with the batch-mean feature, the multiscale trainer's
+    # quirk (train_multiscale.py:185-196).
+    invalid_fill: str = "zeros"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -222,9 +237,11 @@ def config_from_dict(d: Dict[str, Any]) -> Config:
         pick((model_d, "use_dino"),
              default=("dino_model" in model_d or "dino_dim" in model_d))
     )
+    model_type = str(pick((model_d, "dino_model_type"),
+                          (dino_d, "model_type"), default="single_scale"))
     dino = DINOConfig(
         use_dino=use_dino,
-        model_type=pick((model_d, "dino_model_type"), default="single_scale"),
+        model_type=model_type,
         name=pick((dino_d, "name"), (model_d, "dino_model"),
                   default="facebook/dinov2-base"),
         use_lora=bool(pick((dino_d, "use_lora"), (model_d, "use_lora"),
@@ -234,9 +251,20 @@ def config_from_dict(d: Dict[str, Any]) -> Config:
         lora_alpha=float(pick((dino_d, "lora_alpha"), (model_d, "lora_alpha"),
                               default=16.0)),
         output_dim=int(pick((model_d, "dino_dim"), default=64)),
+        # The standalone scripts sample with align_corners=True
+        # (train_lora.py:128); the config-driven path with False.
+        align_corners=bool(pick(
+            (dino_d, "align_corners"), (model_d, "align_corners"),
+            default=(model_type == "patch_embed"),
+        )),
+        invalid_fill=str(pick((dino_d, "invalid_fill"), default="zeros")),
     )
     if dino.model_type == "multi_scale":
         dino = dataclasses.replace(dino, output_dim=128)
+    elif dino.model_type == "patch_embed":
+        dino = dataclasses.replace(
+            dino, output_dim=int(pick((model_d, "dino_dim"), default=768))
+        )
 
     nerf = NeRFModelConfig(
         pos_freq=int(pick((nerf_d, "pos_freq"), (model_d, "pos_freq"), default=10)),
@@ -261,10 +289,36 @@ def config_from_dict(d: Dict[str, Any]) -> Config:
         ),
     )
 
+    # The multiscale trainer mean-fills invalid-projection features
+    # (train_multiscale.py:185-196); its arch is 'module'. Default the quirk
+    # on for that surface unless explicitly configured.
+    if nerf.arch == "module" and pick((dino_d, "invalid_fill"), default=None) is None:
+        dino = dataclasses.replace(dino, invalid_fill="mean")
+
     batch_size = int(pick((train_d, "batch_size"), default=1024))
-    phases = _default_phases(
-        batch_size, resolution, train_d.get("progressive_schedule")
-    )
+    if "phases" in train_d:
+        # Explicit phase list (the standalone scripts' schedules don't fit
+        # the 50/100 grid — e.g. train_baseline.py:74-80 switches at 20/60).
+        # batch_size: 'full' = one full-image step per view (the scripts'
+        # full-image loss).
+        phases = []
+        for ph in train_d["phases"]:
+            H = int(ph.get("H", ph.get("resolution", resolution)))
+            W = int(ph.get("W", H))
+            bs = ph.get("batch_size", "full")
+            bs = H * W if bs == "full" else int(bs)
+            phases.append(PhaseSpec(
+                start_epoch=int(ph["start"]),
+                end_epoch=int(ph.get("end", _BIG)),
+                H=H, W=W,
+                n_samples=int(ph["n_samples"]),
+                batch_size=bs,
+            ))
+        phases = tuple(phases)
+    else:
+        phases = _default_phases(
+            batch_size, resolution, train_d.get("progressive_schedule")
+        )
 
     optimizer = OptimizerConfig(
         lr=float(pick((opt_d, "lr"), (train_d, "learning_rate"), default=5e-4)),

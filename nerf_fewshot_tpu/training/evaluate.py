@@ -51,12 +51,7 @@ def novel_view_synthesis(trainer, out_dir: str, n_orbit: int = 8) -> List[str]:
     )
     pf = None
     if trainer.use_dino:
-        from nerf_fewshot_tpu.training.trainer import _feature_sampler
-
-        pf = _feature_sampler(
-            trainer.dino_features[0], trainer.poses[0], trainer.focal,
-            trainer.H, trainer.W,
-        )
+        pf = trainer.feature_sampler(trainer.dino_features[0], trainer.poses[0])
     model_fn = trainer._model_fn(trainer.params)
     paths = []
     for i, pose in enumerate(poses):
@@ -85,7 +80,10 @@ def feature_3d_consistency(trainer, n_points: int = 256) -> Dict:
         p2d, _, _ = project_points_to_image(
             pts, trainer.poses[v], trainer.focal, trainer.H, trainer.W
         )
-        f = grid_sample(trainer.dino_features[v], p2d)
+        f = grid_sample(
+            trainer.dino_features[v], p2d,
+            align_corners=trainer.cfg.dino.align_corners,
+        )
         feats.append(np.asarray(f))
     sim = np.zeros((V, V))
     for i in range(V):
@@ -148,12 +146,7 @@ def feature_interpolation_smoothness(trainer, grid_n: int = 8) -> Dict:
     model_fn = trainer._model_fn(trainer.params)
     feats = None
     if trainer.use_dino:
-        from nerf_fewshot_tpu.training.trainer import _feature_sampler
-
-        pf = _feature_sampler(
-            trainer.dino_features[0], trainer.poses[0], trainer.focal,
-            trainer.H, trainer.W,
-        )
+        pf = trainer.feature_sampler(trainer.dino_features[0], trainer.poses[0])
         feats = pf(pts)
     rgb, sigma = model_fn(pts, dirs, feats)
     sigma = np.asarray(sigma).reshape(grid_n, grid_n, grid_n)

@@ -88,31 +88,43 @@ def ssim(
 
 
 class LPIPSMetric:
-    """Optional LPIPS(VGG) via the host-side torch ``lpips`` package.
+    """LPIPS(VGG) — the third leg of the reference's metric triple
+    (train.py:99-101,324-329).
 
-    Requires pretrained VGG16 weights on disk (zero-egress environments
-    without a weight cache get ``available == False`` and ``None`` scores).
+    Prefers the torch ``lpips`` package when it is importable with its
+    pretrained weights (exact published numbers); otherwise runs the native
+    JAX port (training/lpips_jax.py) — pretrained when VGG16 weights are on
+    disk, seeded-random features with uniform heads otherwise (a fixed,
+    valid perceptual distance whose absolute scale differs from the
+    published pretrained-VGG numbers; ``pretrained`` says which ran).
     Inputs are [0,1] images; scaled to [-1,1] internally as the reference
     does (train.py:324-326).
     """
 
     def __init__(self):
-        self._model = None
-        self.available = False
+        self._torch_model = None
+        self._jax_model = None
+        self.available = True
+        self.pretrained = False
+        self.backend = "jax"
         try:  # pragma: no cover - depends on local weight cache
             import lpips as _lpips  # type: ignore
 
-            self._model = _lpips.LPIPS(net="vgg")
-            self.available = True
+            self._torch_model = _lpips.LPIPS(net="vgg")
+            self.backend = "torch-lpips"
+            self.pretrained = True
         except Exception:
-            self._model = None
+            from nerf_fewshot_tpu.training.lpips_jax import LPIPS
+
+            self._jax_model = LPIPS()
+            self.pretrained = self._jax_model.pretrained
 
     def __call__(self, pred: np.ndarray, target: np.ndarray) -> Optional[float]:
-        if not self.available:
-            return None
-        import torch  # local import: torch stays off the TPU path
+        if self._torch_model is not None:  # pragma: no cover - weight cache
+            import torch
 
-        with torch.no_grad():
-            p = torch.from_numpy(np.asarray(pred)).permute(2, 0, 1)[None] * 2 - 1
-            t = torch.from_numpy(np.asarray(target)).permute(2, 0, 1)[None] * 2 - 1
-            return float(self._model(p.float(), t.float()).item())
+            with torch.no_grad():
+                p = torch.from_numpy(np.asarray(pred)).permute(2, 0, 1)[None] * 2 - 1
+                t = torch.from_numpy(np.asarray(target)).permute(2, 0, 1)[None] * 2 - 1
+                return float(self._torch_model(p.float(), t.float()).item())
+        return self._jax_model(pred, target)

@@ -49,6 +49,7 @@ from nerf_fewshot_tpu.training.optim import (
 )
 from nerf_fewshot_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 from nerf_fewshot_tpu.utils.logging import JSONLLogger, save_png
+from nerf_fewshot_tpu.utils.profiling import RateMeter
 
 
 # Test hook: when True, Pallas-kernel eligibility ignores the backend check
@@ -68,13 +69,27 @@ class PhaseData:
     W: int
 
 
-def _feature_sampler(feat_map, pose, focal, H, W, align_corners=False):
+def _feature_sampler(feat_map, pose, focal, H, W, align_corners=False,
+                     invalid_fill="zeros"):
     """Per-point conditioning closure: project 3D points into the feature
-    view, bilinear-sample the map (reference: train.py:210-221)."""
+    view, bilinear-sample the map (reference: train.py:210-221).
+
+    ``align_corners`` selects the grid_sample convention: False for the
+    config-driven path (dino_feature_model.py:135-140), True for the
+    standalone scripts (train_lora.py:128). ``invalid_fill='mean'``
+    reproduces the multiscale trainer's quirk (train_multiscale.py:185-196):
+    features of invalid projections (behind camera / outside the image) are
+    replaced with the batch-mean feature — where the mean is taken over *all*
+    sampled features including the zero-filled invalid ones, exactly as the
+    reference computes it."""
 
     def fn(pts):
-        pts2d, _, _ = project_points_to_image(pts, pose, focal, H, W)
-        return grid_sample(feat_map, pts2d, align_corners=align_corners)
+        pts2d, _, valid = project_points_to_image(pts, pose, focal, H, W)
+        f = grid_sample(feat_map, pts2d, align_corners=align_corners)
+        if invalid_fill == "mean":
+            mean = jnp.mean(f, axis=0, keepdims=True)
+            f = jnp.where(valid[:, None], f, mean)
+        return f
 
     return fn
 
@@ -160,8 +175,18 @@ class Trainer:
         self._np_rng = np.random.default_rng(cfg.seed)
         self.logger = JSONLLogger(path=log_path, run_name=cfg.name, config=cfg.raw)
         self.lpips = LPIPSMetric()
+        self.rate_meter = RateMeter()
 
     # ------------------------------------------------------------------ model
+
+    def feature_sampler(self, feat_map, pose):
+        """Config-bound feature sampler (align_corners + invalid-fill from
+        the DINO config)."""
+        return _feature_sampler(
+            feat_map, pose, self.focal, self.H, self.W,
+            align_corners=self.cfg.dino.align_corners,
+            invalid_fill=self.cfg.dino.invalid_fill,
+        )
 
     def _model_fn(self, params):
         """Close params into a (pts, dirs, dino) -> (rgb, sigma) callable."""
@@ -179,24 +204,45 @@ class Trainer:
 
         return fn
 
+    def _kernel_ineligible_reason(self) -> Optional[str]:
+        """Why the Pallas kernels cannot run this config (None = eligible).
+
+        The fused kernels assume a *uniform* H→H trunk (pack_params,
+        render/kernels.py) — skip connections change layer shapes and are
+        rejected rather than mis-packed. LoRA is supported by merging
+        ``W + (α/r)·A·B`` into the trunk weights, which is exact because
+        LoRA dropout is inference-mode (identity) on BOTH backends: the
+        reference's trainers never put the model in a mode where trunk-LoRA
+        dropout is exercised (the standalone scripts' NeRFMLP class is
+        missing from the repo, and the config path's LoRA lives in the
+        precomputed-feature DINO where it is gradient-dead, train.py:158-169).
+        """
+        cfg = self.cfg
+        if cfg.nerf.arch == "module":
+            return "arch=module (NeRFWithDINO) has no kernel packing"
+        if cfg.nerf.skip_layers:
+            return (
+                f"skip_layers={list(cfg.nerf.skip_layers)} — the fused "
+                "kernels require a uniform trunk (pack_params assumes "
+                "hidden→hidden layers)"
+            )
+        if cfg.nerf.hidden_dim % 128 != 0:
+            return f"hidden_dim={cfg.nerf.hidden_dim} not 128-lane aligned"
+        if not (cfg.strict_reference_behavior or cfg.rendering.noise_std == 0.0):
+            return "sigma noise_std != 0 is not implemented in the kernels"
+        if not (jax.default_backend() in ("tpu", "axon")
+                or FORCE_INTERPRET_KERNELS):
+            return f"backend {jax.default_backend()!r} is not a TPU"
+        return None
+
     def _kernel_eligible(self) -> bool:
         """Pallas kernel eligibility (mesh-independent): functional NeRFMLP
-        arch, 128-lane-aligned width, no sigma noise (strict reference
-        behavior never applies it), TPU backend (or the test interpret
-        hook)."""
-        return (
-            self.cfg.rendering.backend != "xla"
-            and self.cfg.nerf.arch != "module"
-            and self.cfg.nerf.hidden_dim % 128 == 0
-            and (
-                self.cfg.strict_reference_behavior
-                or self.cfg.rendering.noise_std == 0.0
-            )
-            and (
-                jax.default_backend() in ("tpu", "axon")
-                or FORCE_INTERPRET_KERNELS
-            )
-        )
+        arch with a uniform trunk (no skip connections), 128-lane-aligned
+        width, no sigma noise (strict reference behavior never applies it),
+        TPU backend (or the test interpret hook)."""
+        if self.cfg.rendering.backend == "xla":
+            return False
+        return self._kernel_ineligible_reason() is None
 
     def _use_fused(self) -> bool:
         """Fused Pallas *renderer* eligibility. Under a device mesh the
@@ -208,11 +254,9 @@ class Trainer:
         if b == "xla":
             return False
         if b == "fused":
-            if not self._kernel_eligible():
-                raise ValueError(
-                    "rendering.backend=fused requires the functional arch, "
-                    "hidden_dim % 128 == 0, and no sigma noise"
-                )
+            reason = self._kernel_ineligible_reason()
+            if reason is not None:
+                raise ValueError(f"rendering.backend=fused rejected: {reason}")
             return self.mesh is None
         return self._kernel_eligible() and self.mesh is None  # auto
 
@@ -268,24 +312,33 @@ class Trainer:
     # ------------------------------------------------------------- phase data
 
     def phase_data(self, phase_idx: int) -> PhaseData:
+        """Per-phase ray/target prep, built host-side with the native C++
+        ops (native/nerf_native.cpp get_rays + resize_bilinear; numpy
+        fallback, parity pinned by tests/test_native.py) and uploaded in one
+        transfer — per-op dispatch through the remote TPU runtime costs more
+        than the whole prep."""
         if phase_idx in self._phase_data:
             return self._phase_data[phase_idx]
+        from nerf_fewshot_tpu import native
+
         p = self.cfg.phases[phase_idx]
         Hp, Wp = p.H, p.W
         focal = self.focal * (Hp / self.H)  # reference: train.py:267
+        targets_np = np.asarray(self.targets_full)
+        poses_np = np.asarray(self.poses)
         ros, rds, tgts = [], [], []
         for v in range(self.n_views):
-            ro, rd = get_rays(Hp, Wp, focal, self.poses[v])
-            tgt = self.targets_full[v]
+            ro, rd = native.get_rays(Hp, Wp, focal, poses_np[v])
+            tgt = targets_np[v]
             if (Hp, Wp) != (self.H, self.W):
-                tgt = resize_bilinear(tgt, Hp, Wp)  # train.py:270 semantics
+                tgt = native.resize_bilinear(tgt, Hp, Wp)  # train.py:270
             ros.append(ro.reshape(-1, 3))
             rds.append(rd.reshape(-1, 3))
             tgts.append(tgt.reshape(-1, 3))
         pd = PhaseData(
-            rays_o=jnp.stack(ros),
-            rays_d=jnp.stack(rds),
-            targets=jnp.stack(tgts),
+            rays_o=jnp.asarray(np.stack(ros)),
+            rays_d=jnp.asarray(np.stack(rds)),
+            targets=jnp.asarray(np.stack(tgts)),
             H=Hp,
             W=Wp,
         )
@@ -307,9 +360,7 @@ class Trainer:
         def loss_fn(params, key, ro, rd, tgt, mask, feat_map, feat_pose):
             pf = None
             if use_dino:
-                pf = _feature_sampler(
-                    feat_map, feat_pose, self.focal, self.H, self.W
-                )
+                pf = self.feature_sampler(feat_map, feat_pose)
             out = self._ray_render_fn(params, settings, key, pf)(ro, rd)
             losses = nerf_loss(
                 out.rgb,
@@ -360,9 +411,7 @@ class Trainer:
 
                 pf = None
                 if use_dino:
-                    pf = _feature_sampler(
-                        feat_map, feat_pose, self.focal, self.H, self.W
-                    )
+                    pf = self.feature_sampler(feat_map, feat_pose)
                 return fused_train_loss_grad(
                     params, ro, rd, tgt, mask, settings,
                     pos_freq=cfg.nerf.pos_freq, dir_freq=cfg.nerf.dir_freq,
@@ -520,9 +569,7 @@ class Trainer:
         def chunk(params, ro, rd, feat_map, feat_pose):
             pf = None
             if use_dino:
-                pf = _feature_sampler(
-                    feat_map, feat_pose, self.focal, self.H, self.W
-                )
+                pf = self.feature_sampler(feat_map, feat_pose)
             out = self._ray_render_fn(
                 params, settings, None, pf, forward_only=True
             )(ro, rd)
@@ -610,14 +657,24 @@ class Trainer:
     # ------------------------------------------------------------------ train
 
     def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
+        import time
+
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.epochs
         metrics: Dict[str, float] = {}
         for epoch in range(self.epoch, epochs):
             self.epoch = epoch
+            t0 = time.perf_counter()
             loss = self.train_epoch(epoch)
+            # rays/s·chip — the headline throughput metric, per-epoch in the
+            # log (train_epoch syncs on its losses, so the wall time is real)
+            pd = self.phase_data(self._phase_index(epoch))
+            rate = self.rate_meter.update(
+                self.n_views * pd.rays_o.shape[1], time.perf_counter() - t0
+            )
             self.logger.log(
-                {"epoch": epoch, "train_loss": loss, "lr": self.lr_at(epoch)}
+                {"epoch": epoch, "train_loss": loss, "lr": self.lr_at(epoch),
+                 "rays_per_sec": rate}
             )
             if (epoch + 1) % cfg.output.val_freq == 0:
                 dump = os.path.join(cfg.output.save_dir, f"epoch_{epoch}")

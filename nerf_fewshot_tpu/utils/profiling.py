@@ -37,12 +37,19 @@ class RateMeter:
     def tick(self, n_rays: int) -> Optional[float]:
         now = time.perf_counter()
         if self._t is not None:
-            inst = n_rays / max(now - self._t, 1e-9)
-            self.rate = (
-                inst if self.rate is None
-                else self.alpha * inst + (1 - self.alpha) * self.rate
-            )
+            self.update(n_rays, now - self._t)
         self._t = now
+        return self.rate
+
+    def update(self, n_rays: int, seconds: float) -> float:
+        """Fold an explicitly-timed interval into the EMA (used by the
+        trainer, which times the train phase only — eval/checkpoint time
+        between epochs must not pollute the rate)."""
+        inst = n_rays / max(seconds, 1e-9)
+        self.rate = (
+            inst if self.rate is None
+            else self.alpha * inst + (1 - self.alpha) * self.rate
+        )
         return self.rate
 
 
