@@ -61,6 +61,14 @@ def _precompute_features(cfg, train_data) -> Optional[np.ndarray]:
 
 
 def cmd_train(args) -> None:
+    if args.multihost:
+        # must run before any device query; coordinator/process identity
+        # come from JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+        # JAX_PROCESS_ID (or the TPU metadata server on Cloud TPU slices)
+        from nerf_fewshot_tpu.parallel import initialize_multihost
+
+        initialize_multihost()
+
     import jax
 
     from nerf_fewshot_tpu.parallel import make_mesh
@@ -77,9 +85,12 @@ def cmd_train(args) -> None:
     dino_features = _precompute_features(cfg, train_data)
 
     mesh = None
-    if args.data_parallel and len(jax.devices()) > 1:
+    if (args.data_parallel or args.multihost) and len(jax.devices()) > 1:
         mesh = make_mesh()
-        print(f"[mesh] data-parallel over {len(jax.devices())} devices")
+        print(
+            f"[mesh] data-parallel over {len(jax.devices())} devices"
+            + (f" across {jax.process_count()} hosts" if args.multihost else "")
+        )
 
     trainer = Trainer(
         cfg,
@@ -164,6 +175,10 @@ def main(argv=None) -> None:
                          help="force the procedural synthetic scene")
     p_train.add_argument("--data-parallel", action="store_true",
                          help="shard ray batches over all local devices")
+    p_train.add_argument("--multihost", action="store_true",
+                         help="initialize jax.distributed (one process per "
+                              "host; coordinator from JAX_COORDINATOR_ADDRESS "
+                              "etc.) and mesh over ALL hosts' devices")
     p_train.add_argument("--profile", default=None, metavar="DIR",
                          help="capture a jax.profiler trace of training "
                               "(view with XProf/TensorBoard)")

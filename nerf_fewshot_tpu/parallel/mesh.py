@@ -35,13 +35,65 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def initialize_multihost(**kwargs) -> None:  # pragma: no cover - needs cluster
-    """Multi-host init (DCN): call once per process before device use.
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs,
+) -> None:
+    """Multi-host init (DCN): call once per process before any device query.
 
     Thin wrapper over ``jax.distributed.initialize`` so the CLI has a single
-    entry point; coordinator address/process counts come from env or kwargs.
+    entry point. Explicit args win; otherwise the standard env vars
+    (``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``,
+    or a TPU metadata server) are used. Works on the CPU backend too (Gloo
+    collectives) — the 2-process localhost smoke in tests/test_multihost.py
+    runs exactly this path.
     """
-    jax.distributed.initialize(**kwargs)
+    import os
+
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
+
+
+def process_local_slice(n_global: int) -> slice:
+    """This process's contiguous row range of a globally-sharded ray batch
+    (host-local data loading: each host materializes only its shard).
+
+    ``n_global`` must divide evenly by the process count (the trainer pads
+    batches to the mesh size already)."""
+    pc = jax.process_count()
+    assert n_global % pc == 0, (n_global, pc)
+    per = n_global // pc
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)
+
+
+def make_global_batch(mesh: Mesh, local_arrays, axis_name: str = "data"):
+    """Assemble globally-sharded device arrays from *host-local* numpy
+    shards (one per array), sharded on the leading axis over ``mesh``.
+
+    Single-process meshes skip the assembly (the local shard IS the global
+    array). Multi-host: ``jax.make_array_from_process_local_data`` places
+    each host's rows on its own devices — no cross-host data movement."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    if jax.process_count() == 1:
+        return tuple(jax.device_put(np.asarray(a), sharding)
+                     for a in local_arrays)
+    return tuple(
+        jax.make_array_from_process_local_data(sharding, np.asarray(a))
+        for a in local_arrays
+    )
 
 
 def replicate(mesh: Mesh) -> NamedSharding:

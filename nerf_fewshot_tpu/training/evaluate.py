@@ -66,10 +66,13 @@ def novel_view_synthesis(trainer, out_dir: str, n_orbit: int = 8) -> List[str]:
     return paths
 
 
-def feature_3d_consistency(trainer, n_points: int = 256) -> Dict:
+def feature_3d_consistency(
+    trainer, n_points: int = 256, out_dir: str = None
+) -> Dict:
     """Cosine-similarity of per-view features sampled at shared 3D points
     (evaluate.py:83-156). Requires DINO conditioning; returns the mean
-    off-diagonal similarity and the full matrix."""
+    off-diagonal similarity and the full matrix, and writes the reference's
+    heatmap artifact (evaluate.py:141-149) when ``out_dir`` is given."""
     if not trainer.use_dino:
         return {"available": False}
     rng = np.random.default_rng(0)
@@ -87,12 +90,22 @@ def feature_3d_consistency(trainer, n_points: int = 256) -> Dict:
         feats.append(np.asarray(f))
     sim = np.zeros((V, V))
     for i in range(V):
-        for j in range(V):
+        for j in range(i + 1, V):
             a, b = feats[i], feats[j]
             num = (a * b).sum(-1)
             den = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-8
-            sim[i, j] = float(np.mean(num / den))
+            sim[i, j] = sim[j, i] = float(np.mean(num / den))
+    # the reference fills the diagonal rather than computing it
+    # (evaluate.py:137 np.fill_diagonal(..., 1.0))
+    np.fill_diagonal(sim, 1.0)
     off_diag = sim[~np.eye(V, dtype=bool)]
+    if out_dir is not None:
+        from nerf_fewshot_tpu.utils.plots import save_heatmap
+
+        save_heatmap(
+            os.path.join(out_dir, "consistency_matrix.png"), sim,
+            cmap="viridis",
+        )
     return {
         "available": True,
         "matrix": sim.tolist(),
@@ -100,14 +113,22 @@ def feature_3d_consistency(trainer, n_points: int = 256) -> Dict:
     }
 
 
-def depth_statistics(trainer, max_views: int = 3) -> Dict:
-    """Depth-map stats over test views (evaluate.py:158-218)."""
+def depth_statistics(trainer, max_views: int = 3, out_dir: str = None) -> Dict:
+    """Depth-map stats over test views (evaluate.py:158-218). With
+    ``out_dir``, also writes the reference's artifacts: the plasma-
+    colormapped depth map (evaluate.py:194-197) and the 50-bin depth
+    histogram (evaluate.py:200-204) per view."""
     if trainer.test_data is None:
         return {"available": False}
     settings = trainer._render_settings(
         trainer.cfg.phases[-1].n_samples, training=False
     )
     model_fn = trainer._model_fn(trainer.params)
+    pf = None
+    if trainer.use_dino:
+        # eval-time features come from train view 0 regardless of pose —
+        # the reference's quirk (train.py:204-213)
+        pf = trainer.feature_sampler(trainer.dino_features[0], trainer.poses[0])
     stats = []
     n = min(max_views, trainer.test_data.n_views)
     for i in range(n):
@@ -118,10 +139,24 @@ def depth_statistics(trainer, max_views: int = 3) -> Dict:
         out = render_image(
             model_fn, ro, rd, settings,
             chunk_size=trainer.cfg.rendering.chunk_size,
+            point_features_fn=pf,
         )
         d = np.asarray(out.depth)
         acc = np.asarray(out.acc)
         fg = acc > 0.5
+        if out_dir is not None:
+            from nerf_fewshot_tpu.utils.plots import (
+                save_colormapped,
+                save_histogram,
+            )
+
+            save_colormapped(
+                os.path.join(out_dir, f"depth_view_{i}.png"), d, cmap="plasma"
+            )
+            save_histogram(
+                os.path.join(out_dir, f"depth_hist_view_{i}.png"),
+                d.ravel(), bins=50,
+            )
         stats.append(
             {
                 "view": i,
@@ -162,6 +197,46 @@ def feature_interpolation_smoothness(trainer, grid_n: int = 8) -> Dict:
     }
 
 
+def raw_feature_smoothness(trainer, n_pairs: int = 1000) -> Dict:
+    """Interpolation smoothness of the *raw* sampled feature grid — the
+    reference's actual analysis (evaluate.py:220-270): a 20×20×10 grid of 3D
+    points (x,y ∈ [-2,2], z ∈ [2.5,4.5]), projected into the first two
+    views, features sampled, then the mean L2 feature distance over random
+    point pairs (valid projections only)."""
+    if not trainer.use_dino:
+        return {"available": False}
+    x = np.linspace(-2, 2, 20)
+    y = np.linspace(-2, 2, 20)
+    z = np.linspace(2.5, 4.5, 10)
+    grid_points = np.stack(np.meshgrid(x, y, z), axis=-1).reshape(-1, 3)
+    pts = jnp.asarray(grid_points.astype(np.float32))
+    rng = np.random.default_rng(0)
+    results: Dict = {"available": True}
+    for v in range(min(2, trainer.n_views)):
+        p2d, _, valid = project_points_to_image(
+            pts, trainer.poses[v], trainer.focal, trainer.H, trainer.W
+        )
+        feats = grid_sample(
+            trainer.dino_features[v], p2d,
+            align_corners=trainer.cfg.dino.align_corners,
+        )
+        valid_np = np.asarray(valid)
+        fv = np.asarray(feats)[valid_np]
+        if len(fv) > 100:
+            idx = rng.choice(len(fv), (n_pairs, 2), replace=True)
+            diffs = np.linalg.norm(fv[idx[:, 0]] - fv[idx[:, 1]], axis=-1)
+            results[f"view_{v}"] = {
+                "smoothness_score": float(diffs.mean()),
+                "n_valid_points": int(valid_np.sum()),
+            }
+        else:
+            results[f"view_{v}"] = {
+                "smoothness_score": None,
+                "n_valid_points": int(valid_np.sum()),
+            }
+    return results
+
+
 def comprehensive_evaluation(
     trainer, out_dir: str, n_orbit: int = 8
 ) -> Dict:
@@ -172,9 +247,12 @@ def comprehensive_evaluation(
     results["metrics"] = trainer.evaluate(max_views=8, dump_dir=out_dir)
     novel_view_synthesis(trainer, out_dir, n_orbit=n_orbit)
     results["novel_views"] = n_orbit
-    results["feature_3d_consistency"] = feature_3d_consistency(trainer)
-    results["depth"] = depth_statistics(trainer)
+    results["feature_3d_consistency"] = feature_3d_consistency(
+        trainer, out_dir=out_dir
+    )
+    results["depth"] = depth_statistics(trainer, out_dir=out_dir)
     results["smoothness"] = feature_interpolation_smoothness(trainer)
+    results["raw_feature_smoothness"] = raw_feature_smoothness(trainer)
     with open(os.path.join(out_dir, "evaluation.json"), "w") as f:
         json.dump(results, f, indent=2, default=float)
     return results
