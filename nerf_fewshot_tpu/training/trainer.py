@@ -703,6 +703,9 @@ class Trainer:
         )
 
     def load(self, path: str) -> None:
+        if path.endswith((".pth", ".pt")):
+            self.load_torch(path)
+            return
         tree, meta = restore_checkpoint(
             path, {"params": self.params, "opt_state": self.opt_state}
         )
@@ -711,3 +714,36 @@ class Trainer:
         if meta:
             self.epoch = int(meta.get("epoch", 0)) + 1
             self.best_psnr = float(meta.get("best_psnr", 0.0))
+
+    def load_torch(self, path: str) -> None:
+        """Import a *reference* torch checkpoint file. Handles both of the
+        reference's incompatible key schemas — ``nerf_model_state_dict``
+        (train.py:378) and ``nerf_state_dict`` (train_multiscale.py:370) —
+        and bare state_dicts. Optimizer state is re-initialized (torch Adam
+        moments don't transfer across frameworks meaningfully)."""
+        from nerf_fewshot_tpu.utils.torch_import import (
+            import_nerf_mlp_state_dict,
+            import_nerf_with_dino_state_dict,
+            load_torch_checkpoint,
+        )
+
+        ckpt = load_torch_checkpoint(path)
+        sd = None
+        for key in ("nerf_model_state_dict", "nerf_state_dict"):
+            if isinstance(ckpt, dict) and key in ckpt:
+                sd = ckpt[key]
+                break
+        if sd is None:
+            sd = ckpt  # bare state_dict
+        sd = {k: (v.numpy() if hasattr(v, "numpy") else v)
+              for k, v in sd.items()}
+        if self.cfg.nerf.arch == "module":
+            self.params = import_nerf_with_dino_state_dict(self.params, sd)
+        else:
+            self.params = import_nerf_mlp_state_dict(self.params, sd)
+        self.opt_state = self.tx.init(self.params)
+        if isinstance(ckpt, dict) and "epoch" in ckpt:
+            try:
+                self.epoch = int(ckpt["epoch"]) + 1
+            except (TypeError, ValueError):
+                pass
