@@ -93,3 +93,25 @@ def test_graft_entry_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_process_local_slice_single_process():
+    from nerf_fewshot_tpu.parallel import process_local_slice
+
+    sl = process_local_slice(64)
+    assert (sl.start, sl.stop) == (0, 64)
+
+
+def test_make_global_batch_places_shards():
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nerf_fewshot_tpu.parallel import make_global_batch, make_mesh
+
+    mesh = make_mesh(8)
+    a = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    b = np.ones((16,), np.float32)
+    ga, gb = make_global_batch(mesh, (a, b))
+    assert ga.sharding == NamedSharding(mesh, P("data"))
+    np.testing.assert_array_equal(np.asarray(ga), a)
+    np.testing.assert_array_equal(np.asarray(gb), b)

@@ -259,3 +259,36 @@ def test_checkpoint_roundtrip(tmp_path):
     )
     assert int(restored["count"]) == 3
     assert meta["epoch"] == 7
+
+
+# ----------------------------------------------------------- observability
+
+
+def test_fit_logs_rays_per_sec(tmp_path):
+    """fit() emits the headline throughput metric per epoch in the JSONL log
+    (the wired utils.profiling.RateMeter)."""
+    import json
+
+    from nerf_fewshot_tpu.data import lego_like_scene, make_scene_dataset
+    from nerf_fewshot_tpu.training.config import config_from_dict
+    from nerf_fewshot_tpu.training.trainer import Trainer
+
+    cfg = config_from_dict({
+        "experiment": {"name": "rate-log"},
+        "data": {"resolution": 16, "num_views": 2, "near": 2.0, "far": 6.0},
+        "nerf_model": {"pos_freq": 4, "dir_freq": 2, "hidden_dim": 32,
+                       "num_layers": 2, "sigma_bias": 0.1},
+        "training": {"epochs": 2, "phases": [
+            {"start": 0, "H": 16, "n_samples": 8, "batch_size": 128}]},
+        "rendering": {"chunk_size": 128},
+        "output": {"save_dir": str(tmp_path), "val_freq": 1000,
+                   "save_freq": 1000},
+    })
+    scene = lego_like_scene()
+    data = make_scene_dataset(scene, n_views=2, img_size=16, gt_samples=32)
+    log = str(tmp_path / "log.jsonl")
+    tr = Trainer(cfg, data, log_path=log)
+    tr.fit(2)
+    rows = [json.loads(line) for line in open(log)]
+    rates = [r["rays_per_sec"] for r in rows if "rays_per_sec" in r]
+    assert len(rates) == 2 and all(r > 0 for r in rates)
