@@ -1,0 +1,82 @@
+"""Full-Trainer multi-host smoke: the real training engine (phases, padded
+static batches, lax.scan view steps, optax) over a cross-process device
+mesh. Complements multihost_smoke.py (which drives a hand-rolled step).
+
+Each process builds the same synthetic dataset deterministically, enters
+the global mesh, and trains ``--epochs`` epochs; losses must agree across
+processes bit-for-bit (replicated outputs). Run one process per host::
+
+    python -m nerf_fewshot_tpu.parallel.multihost_train_smoke \
+        --coordinator host0:12345 --num-processes 2 --process-id <i> [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def run(coordinator: str, num_processes: int, process_id: int,
+        epochs: int = 2, force_cpu: bool = False) -> float:
+    import jax
+
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from nerf_fewshot_tpu.parallel.mesh import initialize_multihost, make_mesh
+
+    initialize_multihost(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+    import numpy as np
+
+    from nerf_fewshot_tpu.data import lego_like_scene, make_scene_dataset
+    from nerf_fewshot_tpu.training.config import config_from_dict
+    from nerf_fewshot_tpu.training.trainer import Trainer
+
+    res = 16
+    cfg = config_from_dict({
+        "experiment": {"name": "multihost-train-smoke"},
+        "data": {"resolution": res, "num_views": 2, "near": 2.0, "far": 6.0},
+        "nerf_model": {"pos_freq": 6, "dir_freq": 2, "hidden_dim": 64,
+                       "num_layers": 2, "sigma_bias": 0.1},
+        "training": {"epochs": epochs, "phases": [
+            {"start": 0, "H": res, "n_samples": 8, "batch_size": 128}]},
+        "optimizer": {"lr": 5e-3, "weight_decay": 0.0, "lr_milestones": []},
+        "rendering": {"chunk_size": 256, "white_bkgd": True,
+                      "backend": "xla"},
+        "output": {"save_dir": f"/tmp/mh_train_{process_id}",
+                   "val_freq": 1000, "save_freq": 1000},
+    })
+    scene = lego_like_scene()
+    data = make_scene_dataset(scene, n_views=2, img_size=res, gt_samples=32)
+    mesh = make_mesh()
+
+    trainer = Trainer(cfg, data, mesh=mesh)
+    losses = [trainer.train_epoch(e) for e in range(epochs)]
+    assert np.isfinite(losses).all(), losses
+    print(
+        f"multihost_train_smoke proc {process_id}/{num_processes}: "
+        f"devices={len(jax.devices())} losses="
+        + ",".join(f"{l:.6f}" for l in losses),
+        flush=True,
+    )
+    return losses[-1]
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--coordinator", required=True)
+    p.add_argument("--num-processes", type=int, required=True)
+    p.add_argument("--process-id", type=int, required=True)
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--cpu", action="store_true")
+    a = p.parse_args(argv)
+    run(a.coordinator, a.num_processes, a.process_id, epochs=a.epochs,
+        force_cpu=a.cpu)
+
+
+if __name__ == "__main__":
+    main()

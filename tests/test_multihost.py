@@ -57,3 +57,35 @@ def test_two_process_cpu_smoke():
         assert m, out
         losses.append(float(m.group(1)))
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+
+def test_two_process_full_trainer():
+    """The REAL Trainer (phases, padded batches, scan, optax) over a
+    2-process mesh: losses must be identical across processes."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m",
+                "nerf_fewshot_tpu.parallel.multihost_train_smoke",
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", "2",
+                "--process-id", str(i),
+                "--cpu", "--epochs", "2",
+            ],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+    losses = []
+    for out in outs:
+        m = re.search(r"losses=([0-9.,]+)", out)
+        assert m, out
+        losses.append(m.group(1))
+    assert losses[0] == losses[1], losses
