@@ -67,6 +67,20 @@ def test_reference_yaml_configs_load(name):
         assert cfg.loss.depth_weight == pytest.approx(0.1)
 
 
+def test_all_repo_experiment_configs_load():
+    """Every config shipped in experiments/ must load into a valid tree."""
+    import glob
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "experiments", "*.yaml")))
+    assert len(paths) >= 12
+    for path in paths:
+        cfg = load_config(path)
+        assert cfg.phases and cfg.epochs > 0
+        for ph in cfg.phases:
+            assert ph.batch_size > 0 and ph.n_samples > 0
+
+
 def test_phase_lookup():
     cfg = config_from_dict({"training": {"batch_size": 100}})
     assert cfg.phase_for_epoch(0).H == 32
