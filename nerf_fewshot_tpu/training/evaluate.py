@@ -23,8 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nerf_fewshot_tpu.ops.interp import grid_sample
-from nerf_fewshot_tpu.ops.rays import get_rays, project_points_to_image
-from nerf_fewshot_tpu.render.pipeline import render_image
+from nerf_fewshot_tpu.ops.rays import project_points_to_image
 from nerf_fewshot_tpu.utils.logging import save_png
 
 
@@ -44,24 +43,17 @@ def generate_orbit_poses(
 
 
 def novel_view_synthesis(trainer, out_dir: str, n_orbit: int = 8) -> List[str]:
-    """Render an orbit of novel views; returns saved image paths."""
+    """Render an orbit of novel views; returns saved image paths.
+
+    Routes through ``trainer.render_view`` so it uses the configured render
+    backend (fused forward kernel on TPU), the cached compiled chunk
+    renderer, and the eval-time view-0 feature quirk automatically."""
     poses = generate_orbit_poses(n_orbit)
-    settings = trainer._render_settings(
-        trainer.cfg.phases[-1].n_samples, training=False
-    )
-    pf = None
-    if trainer.use_dino:
-        pf = trainer.feature_sampler(trainer.dino_features[0], trainer.poses[0])
-    model_fn = trainer._model_fn(trainer.params)
     paths = []
     for i, pose in enumerate(poses):
-        ro, rd = get_rays(trainer.H, trainer.W, trainer.focal, jnp.asarray(pose))
-        out = render_image(
-            model_fn, ro, rd, settings,
-            chunk_size=trainer.cfg.rendering.chunk_size, point_features_fn=pf,
-        )
+        rgb, _, _ = trainer.render_view(pose)
         p = os.path.join(out_dir, f"novel_{i:02d}.png")
-        save_png(p, np.clip(np.asarray(out.rgb), 0, 1))
+        save_png(p, np.clip(rgb, 0, 1))
         paths.append(p)
     return paths
 
@@ -120,29 +112,12 @@ def depth_statistics(trainer, max_views: int = 3, out_dir: str = None) -> Dict:
     histogram (evaluate.py:200-204) per view."""
     if trainer.test_data is None:
         return {"available": False}
-    settings = trainer._render_settings(
-        trainer.cfg.phases[-1].n_samples, training=False
-    )
-    model_fn = trainer._model_fn(trainer.params)
-    pf = None
-    if trainer.use_dino:
-        # eval-time features come from train view 0 regardless of pose —
-        # the reference's quirk (train.py:204-213)
-        pf = trainer.feature_sampler(trainer.dino_features[0], trainer.poses[0])
     stats = []
     n = min(max_views, trainer.test_data.n_views)
     for i in range(n):
-        ro, rd = get_rays(
-            trainer.H, trainer.W, trainer.focal,
-            jnp.asarray(trainer.test_data.poses[i]),
-        )
-        out = render_image(
-            model_fn, ro, rd, settings,
-            chunk_size=trainer.cfg.rendering.chunk_size,
-            point_features_fn=pf,
-        )
-        d = np.asarray(out.depth)
-        acc = np.asarray(out.acc)
+        # render_view: configured backend + cached compiled chunks + the
+        # eval-time view-0 feature quirk (train.py:204-213)
+        _, d, acc = trainer.render_view(trainer.test_data.poses[i])
         fg = acc > 0.5
         if out_dir is not None:
             from nerf_fewshot_tpu.utils.plots import (
