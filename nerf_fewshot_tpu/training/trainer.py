@@ -433,15 +433,23 @@ class Trainer:
             """All of one view's minibatch steps as a lax.scan: one dispatch
             per view instead of per step (per-call latency dominates small
             steps on a remote runtime)."""
+            # One fused row-gather per step instead of three: TPU row
+            # gathers are per-row-overhead bound (~0.1 ms per gather at
+            # 2048 rows regardless of width), so packing [o|d|rgb] into one
+            # (HW, 9) operand cuts the gather cost 3x (measured on v5e).
+            view_packed = jnp.concatenate(
+                [view_ro, view_rd, view_tgt], axis=1
+            )
 
             def body(carry, xs):
                 params, opt_state = carry
                 key, idx, mask = xs
                 # Batch gather inside the jit; under DP the sharded indices
-                # gather from replicated view rays.
-                ro = view_ro[idx]
-                rd = view_rd[idx]
-                tgt = view_tgt[idx]
+                # gather from the replicated packed view rows.
+                row = view_packed[idx]
+                ro = row[:, 0:3]
+                rd = row[:, 3:6]
+                tgt = row[:, 6:9]
                 loss, grads = loss_and_grad(
                     params, key, ro, rd, tgt, mask, feat_map, feat_pose
                 )
