@@ -192,7 +192,11 @@ def pe_layout(pos_freq: int, dir_freq: int, use_viewdirs: bool,
                     C[0, col] = half * trig
                     perm.append(canon_dir + 3 + 6 * f + 3 * trig + d)
                     col += 1
-    canon_feat = canon_dir + 3 * (2 * Dq + 1)
+    # Without viewdirs the canonical input has NO dir block at all — the
+    # features start right after PE(pos). (A phantom 3-wide dir offset here
+    # pushed the feature rows 3 past the end of w0; jnp.take's fill mode
+    # then NaN-filled them, which is how the bug announced itself.)
+    canon_feat = canon_dir + (3 * (2 * Dq + 1) if use_viewdirs else 0)
     perm += [canon_feat + k for k in range(feat_dim)]
     x_dim = n_raw + n_phase + feat_dim
     return np.asarray(perm, np.int32), E2, C, x_dim

@@ -203,3 +203,47 @@ def test_train_kernel_with_point_features():
         b = np.asarray(b)
         rel = np.linalg.norm(b - a) / (np.linalg.norm(a) + 1e-12)
         assert rel < 1e-3, rel
+
+
+def test_train_kernel_features_without_viewdirs():
+    """The standalone-script surface: DINO features, NO view dirs
+    (train_lora.py pos_dim 63 only). The feature rows of w0 start right
+    after PE(pos) — a phantom dir-block offset here once NaN-filled the
+    permuted rows (regression test)."""
+    dino_dim = 96
+    model = NeRFMLP(pos_freq=10, dir_freq=4, use_viewdirs=False,
+                    hidden_dim=HIDDEN, num_layers=NL, dino_dim=dino_dim,
+                    lora_rank=4, sigma_bias_init=0.3)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 3)), jnp.zeros((1, 3)),
+        jnp.zeros((1, dino_dim)),
+    )["params"]
+    ro = jnp.asarray(RNG.standard_normal((R, 3)).astype(np.float32))
+    rd = jnp.asarray(RNG.standard_normal((R, 3)).astype(np.float32))
+    tgt = jnp.asarray(RNG.uniform(0, 1, (R, 3)).astype(np.float32))
+    W = jnp.asarray(RNG.standard_normal((3, dino_dim)).astype(np.float32))
+
+    def pf(pts):
+        return jnp.tanh(pts @ W)
+
+    settings = RenderSettings(near=2.0, far=6.0, n_samples=S)
+
+    def autodiff_loss(p):
+        def model_fn(pts, dirs, dino):
+            return model.apply({"params": p}, pts, dirs, dino)
+
+        out = render_rays(model_fn, ro, rd, settings, key=None,
+                          point_features_fn=pf)
+        return jnp.mean((out.rgb - tgt) ** 2)
+
+    want_loss, want_grads = jax.value_and_grad(autodiff_loss)(params)
+    got_loss, got_grads = fused_train_loss_grad(
+        params, ro, rd, tgt, jnp.ones((R,)), settings, 10, 4, NL, HIDDEN,
+        use_viewdirs=False, point_features_fn=pf, interpret=True,
+    )
+    assert np.isfinite(float(got_loss))
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(want_grads),
+                    jax.tree_util.tree_leaves(got_grads)):
+        na, nb = np.linalg.norm(np.asarray(a)), np.linalg.norm(np.asarray(b))
+        np.testing.assert_allclose(nb, na, rtol=2e-3, atol=1e-6)
