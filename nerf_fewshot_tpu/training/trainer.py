@@ -428,49 +428,60 @@ class Trainer:
             )
             return loss, grads
 
-        def view_fn(params, opt_state, keys, idxs, masks, view_ro, view_rd,
-                    view_tgt, feat_map, feat_pose):
-            """All of one view's minibatch steps as a lax.scan: one dispatch
-            per view instead of per step (per-call latency dominates small
-            steps on a remote runtime)."""
-            # One fused row-gather per step instead of three: TPU row
-            # gathers are per-row-overhead bound (~0.1 ms per gather at
-            # 2048 rows regardless of width), so packing [o|d|rgb] into one
-            # (HW, 9) operand cuts the gather cost 3x (measured on v5e).
-            view_packed = jnp.concatenate(
-                [view_ro, view_rd, view_tgt], axis=1
-            )
+        def epoch_fn(params, opt_state, keys, idxs, masks, ros, rds, tgts,
+                     feat_maps, feat_poses):
+            """The WHOLE epoch as two nested lax.scans (views × minibatch
+            steps): one dispatch per epoch instead of one per view per step
+            — per-call latency dominates small steps on a remote runtime.
+            Leading axis of every scanned operand is the view."""
 
-            def body(carry, xs):
+            def view_body(carry, xs):
                 params, opt_state = carry
-                key, idx, mask = xs
-                # Batch gather inside the jit; under DP the sharded indices
-                # gather from the replicated packed view rows.
-                row = view_packed[idx]
-                ro = row[:, 0:3]
-                rd = row[:, 3:6]
-                tgt = row[:, 6:9]
-                loss, grads = loss_and_grad(
-                    params, key, ro, rd, tgt, mask, feat_map, feat_pose
+                keys_v, idx_v, mask_v, ro_v, rd_v, tgt_v, fm_v, fp_v = xs
+                # One fused row-gather per step instead of three: TPU row
+                # gathers are per-row-overhead bound (~0.1 ms per gather at
+                # 2048 rows regardless of width), so packing [o|d|rgb] into
+                # one (HW, 9) operand cuts the gather cost 3x (v5e).
+                view_packed = jnp.concatenate([ro_v, rd_v, tgt_v], axis=1)
+
+                def body(carry, xs):
+                    params, opt_state = carry
+                    key, idx, mask = xs
+                    # Batch gather inside the jit; under DP the sharded
+                    # indices gather from the replicated packed view rows.
+                    row = view_packed[idx]
+                    ro = row[:, 0:3]
+                    rd = row[:, 3:6]
+                    tgt = row[:, 6:9]
+                    loss, grads = loss_and_grad(
+                        params, key, ro, rd, tgt, mask, fm_v, fp_v
+                    )
+                    updates, opt_state = self.tx.update(
+                        grads, opt_state, params
+                    )
+                    params = jax.tree_util.tree_map(
+                        lambda q, u: q + u, params, updates
+                    )
+                    return (params, opt_state), loss
+
+                carry, losses = jax.lax.scan(
+                    body, (params, opt_state), (keys_v, idx_v, mask_v)
                 )
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = jax.tree_util.tree_map(
-                    lambda q, u: q + u, params, updates
-                )
-                return (params, opt_state), loss
+                return carry, losses
 
             (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (keys, idxs, masks)
+                view_body, (params, opt_state),
+                (keys, idxs, masks, ros, rds, tgts, feat_maps, feat_poses),
             )
-            return params, opt_state, losses
+            return params, opt_state, losses  # losses: (V, n_batches)
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            data_s = NamedSharding(self.mesh, P(None, "data"))
+            data_s = NamedSharding(self.mesh, P(None, None, "data"))
             repl = NamedSharding(self.mesh, P())
             step_jit = jax.jit(
-                view_fn,
+                epoch_fn,
                 in_shardings=(
                     repl, repl, repl, data_s, data_s, repl, repl, repl,
                     repl, repl,
@@ -479,7 +490,7 @@ class Trainer:
                 donate_argnums=(0, 1),
             )
         else:
-            step_jit = jax.jit(view_fn, donate_argnums=(0, 1))
+            step_jit = jax.jit(epoch_fn, donate_argnums=(0, 1))
         self._step_fns[phase_idx] = step_jit
         return step_jit
 
@@ -521,47 +532,52 @@ class Trainer:
         B = ((B + g - 1) // g) * g
         n_batches = (n_rays + B - 1) // B
 
-        zero_feat = jnp.zeros((1, 1, 1), jnp.float32)
-        eye = jnp.eye(4, dtype=jnp.float32)
+        V = self.n_views
 
         # One key-split dispatch per epoch instead of per step.
-        n_steps = self.n_views * n_batches
+        n_steps = V * n_batches
         epoch_keys = jax.random.split(self.key, n_steps + 1)
         self.key = epoch_keys[0]
+        keys = epoch_keys[1:].reshape(V, n_batches)
 
-        losses = []
-        for v in range(self.n_views):
+        # Stack every view's minibatches for the epoch scan (pad the ragged
+        # tail; masks keep gradients exact — losses.py masked means).
+        pad_total = n_batches * B - n_rays
+        idxs = np.empty((V, n_batches, B), np.int64)
+        masks = np.ones((V, n_batches * B), np.float32)
+        for v in range(V):
             perm = self._np_rng.permutation(n_rays)
-            feat_map = self.dino_features[v] if self.use_dino else zero_feat
-            feat_pose = self.poses[v] if self.use_dino else eye
-            # Stack the view's minibatches for the scan (pad the ragged tail;
-            # masks keep gradients exact — losses.py masked means).
-            pad_total = n_batches * B - n_rays
-            idxs = np.concatenate([perm, np.zeros(pad_total, perm.dtype)])
-            masks = np.ones(n_batches * B, np.float32)
+            idxs[v] = np.concatenate(
+                [perm, np.zeros(pad_total, perm.dtype)]
+            ).reshape(n_batches, B)
             if pad_total:
-                masks[n_rays:] = 0.0
-            idxs = idxs.reshape(n_batches, B)
-            masks = masks.reshape(n_batches, B)
-            keys = epoch_keys[1 + v * n_batches : 1 + (v + 1) * n_batches]
-            self.params, self.opt_state, view_losses = step_fn(
-                self.params,
-                self.opt_state,
-                keys,
-                jnp.asarray(idxs),
-                jnp.asarray(masks),
-                pd.rays_o[v],
-                pd.rays_d[v],
-                pd.targets[v],
-                feat_map,
-                feat_pose,
-            )
-            # Keep losses on device: fetching per step would serialize
-            # dispatch with execution (costly through a remote runtime).
-            losses.append(view_losses)
-        if not losses:
-            return 0.0
-        return float(jnp.mean(jnp.concatenate(losses)))
+                masks[v, n_rays:] = 0.0
+        masks = masks.reshape(V, n_batches, B)
+
+        if self.use_dino:
+            feat_maps = self.dino_features
+            feat_poses = self.poses
+        else:
+            feat_maps = jnp.zeros((V, 1, 1, 1), jnp.float32)
+            feat_poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                          (V, 4, 4))
+
+        # ONE dispatch for the whole epoch; the loss fetch below is the
+        # only sync (fetching per step/view would serialize dispatch with
+        # execution — costly through a remote runtime).
+        self.params, self.opt_state, losses = step_fn(
+            self.params,
+            self.opt_state,
+            keys,
+            jnp.asarray(idxs),
+            jnp.asarray(masks),
+            pd.rays_o,
+            pd.rays_d,
+            pd.targets,
+            feat_maps,
+            feat_poses,
+        )
+        return float(jnp.mean(losses))
 
     # ------------------------------------------------------------------- eval
 
