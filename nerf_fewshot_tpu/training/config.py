@@ -393,6 +393,30 @@ def config_from_dict(d: Dict[str, Any]) -> Config:
     )
 
 
+_VALID = {
+    "dino.model_type": {"single_scale", "multi_scale", "patch_embed"},
+    "dino.invalid_fill": {"zeros", "mean"},
+    "nerf.arch": {"functional", "module"},
+    "rendering.backend": {"auto", "fused", "xla"},
+    "rendering.compute_dtype": {"float32", "bfloat16"},
+    "optimizer.kind": {"adam", "adamw"},
+    "output.log_format": {"jsonl", "csv"},
+}
+
+
+def validate_config(cfg: Config) -> Config:
+    """Reject typo'd enum fields up front (a misspelled backend or fill
+    policy would otherwise silently fall through a default branch)."""
+    for dotted, allowed in _VALID.items():
+        section, field = dotted.split(".")
+        val = getattr(getattr(cfg, section), field)
+        if val not in allowed:
+            raise ValueError(
+                f"config {dotted}={val!r} not in {sorted(allowed)}"
+            )
+    return cfg
+
+
 def load_config(path: str) -> Config:
     with open(path) as f:
-        return config_from_dict(yaml.safe_load(f))
+        return validate_config(config_from_dict(yaml.safe_load(f)))

@@ -306,3 +306,20 @@ def test_fit_logs_rays_per_sec(tmp_path):
     rows = [json.loads(line) for line in open(log)]
     rates = [r["rays_per_sec"] for r in rows if "rays_per_sec" in r]
     assert len(rates) == 2 and all(r > 0 for r in rates)
+
+
+def test_config_validation_rejects_typos(tmp_path):
+    import yaml as _yaml
+
+    from nerf_fewshot_tpu.training.config import load_config as _lc
+
+    bad = {"rendering": {"backend": "fussed"}}
+    p = tmp_path / "bad.yaml"
+    p.write_text(_yaml.safe_dump(bad))
+    with pytest.raises(ValueError, match="rendering.backend"):
+        _lc(str(p))
+    bad2 = {"dino_model": {"invalid_fill": "means"}}
+    p2 = tmp_path / "bad2.yaml"
+    p2.write_text(_yaml.safe_dump(bad2))
+    with pytest.raises(ValueError, match="invalid_fill"):
+        _lc(str(p2))
