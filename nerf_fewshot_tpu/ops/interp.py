@@ -18,6 +18,7 @@ shard along the point/pixel axis under ``vmap``/``pjit``.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -85,7 +86,14 @@ def grid_sample(
             + tap_weights(x0, y1, wx0 * wy1)
             + tap_weights(x1, y1, wx1 * wy1)
         )  # (..., H*W)
-        return wmat @ features.reshape(H * W, C)
+        # HIGHEST precision: DEFAULT on TPU truncates matmul inputs to one
+        # bf16 pass, silently demoting this gather-equivalent from exact f32
+        # to ~1e-3 relative rounding. The contraction is ≤256 wide, so full
+        # precision costs nothing measurable.
+        return jnp.matmul(
+            wmat, features.reshape(H * W, C),
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def tap(xi, yi):
         ix = xi.astype(jnp.int32)

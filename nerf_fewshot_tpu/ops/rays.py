@@ -91,3 +91,47 @@ def project_points_to_image(
     x_norm = (x / W) * 2.0 - 1.0
     y_norm = (y / H) * 2.0 - 1.0
     return jnp.stack([x_norm, y_norm], axis=-1), z, valid
+
+
+def project_points_script(
+    points: jnp.ndarray,
+    c2w: jnp.ndarray,
+    focal: float,
+    H: int,
+    W: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The standalone scripts' manual projection — a DIFFERENT convention
+    from :func:`project_points_to_image`.
+
+    Behavior-parity port of the inline projection every standalone script
+    repeats (reference: src/training/train_lora.py:118-124,
+    train_baseline.py:97-103, train_projection.py:114-118,
+    train_dino_lora_pose.py:97-102): ``pts_cam = (p - t) @ R.T`` — the
+    camera-to-world rotation applied *forward* with no inverse (the correct
+    world→camera transform would be ``R.T (p - t)``, i.e. ``(p - t) @ R``),
+    ``+z`` optical axis, raw division by z (no epsilon), and **no validity
+    mask** — behind-camera points project wherever the math sends them and
+    grid_sample's zero padding is the only out-of-bounds handling. For any
+    pose with a non-identity rotation this lands on completely different
+    feature locations than the proper projection; reproduced bit-for-bit
+    because the published standalone-script results depend on it.
+
+    Args:
+        points: (N, 3) world-space points.
+        c2w: (4, 4) camera-to-world matrix (rotation used FORWARD, unlike
+            project_points_to_image).
+        focal: focal length in pixels (the scripts pass the full-resolution
+            focal even when rendering downsampled rays).
+        H, W: image size (the scripts pass full resolution).
+
+    Returns:
+        points_2d: (N, 2) normalized coords in [-1, 1] for ``grid_sample``.
+        z: (N,) the scripts' pseudo camera-space z (un-negated).
+    """
+    cam = (points - c2w[:3, 3]) @ c2w[:3, :3].T
+    z = cam[..., 2]
+    x = cam[..., 0] / z * focal + W / 2
+    y = cam[..., 1] / z * focal + H / 2
+    x_norm = (x / W) * 2.0 - 1.0
+    y_norm = (y / H) * 2.0 - 1.0
+    return jnp.stack([x_norm, y_norm], axis=-1), z

@@ -33,30 +33,47 @@ def make_dp_fused_loss_grad(
     interpret: bool = False,
     compute_dtype: str = "float32",
     axis_name: str = "data",
+    point_features_builder=None,
 ):
     """Build ``(params, key, rays_o, rays_d, target, mask) -> (loss, grads)``
-    with the ray batch sharded over ``mesh`` and replicated outputs."""
+    with the ray batch sharded over ``mesh`` and replicated outputs.
 
-    def local_fn(params, key, rays_o, rays_d, target, mask):
+    ``point_features_builder``: optional ``(feat_map, feat_pose) -> (pts ->
+    features)`` factory for per-point DINO conditioning (reference hot loop:
+    train.py:210-221). When given, the returned callable takes two extra
+    REPLICATED trailing args ``(feat_map, feat_pose)``; the feature sampling
+    itself (projection + dense-matmul grid_sample, ops/interp.py) runs as an
+    XLA prologue on each device's local ray shard before the kernel — the
+    feature map is a per-view constant, so replication is the right sharding
+    and no collective is needed for it."""
+
+    def local_fn(params, key, rays_o, rays_d, target, mask, *feat):
         denom = jax.lax.psum(jnp.sum(mask), axis_name)
         # Decorrelate per-shard stratified jitter.
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        pf = None
+        if point_features_builder is not None:
+            feat_map, feat_pose = feat
+            pf = point_features_builder(feat_map, feat_pose)
         loss, grads = fused_train_loss_grad(
             params, rays_o, rays_d, target, mask, settings,
             pos_freq, dir_freq, num_layers, hidden_dim,
             use_viewdirs=use_viewdirs, lora_alpha=lora_alpha, key=key,
             interpret=interpret, compute_dtype=compute_dtype,
-            denom_rays=denom,
+            denom_rays=denom, point_features_fn=pf,
         )
         loss = jax.lax.psum(loss, axis_name)
         grads = jax.lax.psum(grads, axis_name)
         return loss, grads
 
+    in_specs = (P(), P(), P(axis_name), P(axis_name), P(axis_name),
+                P(axis_name))
+    if point_features_builder is not None:
+        in_specs = in_specs + (P(), P())  # feat_map, feat_pose replicated
     return shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis_name), P(axis_name), P(axis_name),
-                  P(axis_name)),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         # pallas_call out_shapes carry no varying-mesh-axes metadata
         check_vma=False,

@@ -97,6 +97,14 @@ class DINOConfig:
     # 'mean' = replace with the batch-mean feature, the multiscale trainer's
     # quirk (train_multiscale.py:185-196).
     invalid_fill: str = "zeros"
+    # Projection convention when mapping 3D points into the feature view:
+    # 'reference' = the proper-inverse projection with a validity mask
+    # (ray_utils.py:176-209, used by train.py and train_multiscale.py);
+    # 'script' = the standalone scripts' inline (p - t) @ R.T chain —
+    # FORWARD c2w rotation, no inverse, no mask (train_lora.py:118-124).
+    # The conventions agree only for identity-rotation poses; defaulted to
+    # 'script' for the patch_embed recipes (the scripts' feature source).
+    projection: str = "reference"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -171,6 +179,13 @@ class Config:
     # noise_std to the renderer), and eval-time DINO features sampled from
     # train view 0 (train.py:204-213). False honors the config fields.
     strict_reference_behavior: bool = True
+    # Whether downsampled phases scale focal with resolution. True mirrors
+    # the config-driven trainer (train.py:267 focal_scaled); False mirrors
+    # the standalone scripts and the multiscale trainer, which pass the
+    # FULL-resolution focal to get_rays at downsampled sizes
+    # (train_lora.py:110, train_multiscale.py:138) — low-res phases render a
+    # narrow-FOV center crop. Defaults per surface in config_from_dict.
+    focal_scaling: bool = True
     raw: Optional[Dict[str, Any]] = None
 
     def phase_for_epoch(self, epoch: int) -> PhaseSpec:
@@ -258,6 +273,10 @@ def config_from_dict(d: Dict[str, Any]) -> Config:
             default=(model_type == "patch_embed"),
         )),
         invalid_fill=str(pick((dino_d, "invalid_fill"), default="zeros")),
+        projection=str(pick(
+            (dino_d, "projection"), (model_d, "projection"),
+            default=("script" if model_type == "patch_embed" else "reference"),
+        )),
     )
     if dino.model_type == "multi_scale":
         dino = dataclasses.replace(dino, output_dim=128)
@@ -296,7 +315,8 @@ def config_from_dict(d: Dict[str, Any]) -> Config:
         dino = dataclasses.replace(dino, invalid_fill="mean")
 
     batch_size = int(pick((train_d, "batch_size"), default=1024))
-    if "phases" in train_d:
+    explicit_phases = "phases" in train_d
+    if explicit_phases:
         # Explicit phase list (the standalone scripts' schedules don't fit
         # the 50/100 grid — e.g. train_baseline.py:74-80 switches at 20/60).
         # batch_size: 'full' = one full-image step per view (the scripts'
@@ -362,7 +382,7 @@ def config_from_dict(d: Dict[str, Any]) -> Config:
         log_freq=int(pick((out_d, "log_freq"), default=1)),
         log_format=str(pick((out_d, "log_format"), default="jsonl")),
     )
-    return Config(
+    return validate_config(Config(
         name=str(exp.get("name", "experiment")),
         description=str(exp.get("description", "")),
         epochs=int(pick((train_d, "epochs"), default=200)),
@@ -389,13 +409,21 @@ def config_from_dict(d: Dict[str, Any]) -> Config:
         strict_reference_behavior=bool(
             pick((d, "strict_reference_behavior"), default=True)
         ),
+        # Only the config-driven trainer scales focal at downsampled phases
+        # (train.py:267). Explicit-phase recipes (the standalone scripts)
+        # and the module arch (train_multiscale) use the full-res focal.
+        focal_scaling=bool(pick(
+            (train_d, "focal_scaling"), (d, "focal_scaling"),
+            default=not (explicit_phases or nerf.arch == "module"),
+        )),
         raw=d,
-    )
+    ))
 
 
 _VALID = {
     "dino.model_type": {"single_scale", "multi_scale", "patch_embed"},
     "dino.invalid_fill": {"zeros", "mean"},
+    "dino.projection": {"reference", "script"},
     "nerf.arch": {"functional", "module"},
     "rendering.backend": {"auto", "fused", "xla"},
     "rendering.compute_dtype": {"float32", "bfloat16"},
@@ -406,13 +434,34 @@ _VALID = {
 
 def validate_config(cfg: Config) -> Config:
     """Reject typo'd enum fields up front (a misspelled backend or fill
-    policy would otherwise silently fall through a default branch)."""
+    policy would otherwise silently fall through a default branch), and
+    malformed phase schedules (a gapped or late-starting schedule would
+    otherwise silently train early epochs at the wrong resolution)."""
     for dotted, allowed in _VALID.items():
         section, field = dotted.split(".")
         val = getattr(getattr(cfg, section), field)
         if val not in allowed:
             raise ValueError(
                 f"config {dotted}={val!r} not in {sorted(allowed)}"
+            )
+    if not cfg.phases:
+        raise ValueError("config has no training phases")
+    if cfg.phases[0].start_epoch != 0:
+        raise ValueError(
+            f"first phase starts at epoch {cfg.phases[0].start_epoch}; "
+            "phase schedules must start at 0"
+        )
+    for prev, nxt in zip(cfg.phases, cfg.phases[1:]):
+        if prev.end_epoch != nxt.start_epoch:
+            raise ValueError(
+                f"phase schedule not contiguous: phase ending at "
+                f"{prev.end_epoch} followed by one starting at "
+                f"{nxt.start_epoch}"
+            )
+    for p in cfg.phases:
+        if p.end_epoch <= p.start_epoch:
+            raise ValueError(
+                f"phase [{p.start_epoch}, {p.end_epoch}) is empty"
             )
     return cfg
 

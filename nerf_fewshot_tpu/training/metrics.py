@@ -42,9 +42,6 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 def _filter2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """Valid-mode 2D correlation applied per channel. img: (H, W, C)."""
-    k = kernel.shape[0]
-    H, W, C = img.shape
-    # extract patches via cumulative approach is messy; use lax conv
     import jax.lax as lax
 
     lhs = img.transpose(2, 0, 1)[:, None]  # (C, 1, H, W)

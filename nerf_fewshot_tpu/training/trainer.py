@@ -36,7 +36,11 @@ import numpy as np
 from nerf_fewshot_tpu.data.blender import BlenderDataset
 from nerf_fewshot_tpu.models.mlp import NeRFMLP, NeRFWithDINO
 from nerf_fewshot_tpu.ops.interp import grid_sample, resize_bilinear
-from nerf_fewshot_tpu.ops.rays import get_rays, project_points_to_image
+from nerf_fewshot_tpu.ops.rays import (
+    get_rays,
+    project_points_script,
+    project_points_to_image,
+)
 from nerf_fewshot_tpu.render.fused import fused_render_rays
 from nerf_fewshot_tpu.render.pipeline import RenderSettings, render_rays
 from nerf_fewshot_tpu.training.config import Config
@@ -70,7 +74,7 @@ class PhaseData:
 
 
 def _feature_sampler(feat_map, pose, focal, H, W, align_corners=False,
-                     invalid_fill="zeros"):
+                     invalid_fill="zeros", projection="reference"):
     """Per-point conditioning closure: project 3D points into the feature
     view, bilinear-sample the map (reference: train.py:210-221).
 
@@ -81,9 +85,19 @@ def _feature_sampler(feat_map, pose, focal, H, W, align_corners=False,
     features of invalid projections (behind camera / outside the image) are
     replaced with the batch-mean feature — where the mean is taken over *all*
     sampled features including the zero-filled invalid ones, exactly as the
-    reference computes it."""
+    reference computes it.
+
+    ``projection`` selects the geometry convention: 'reference' is the
+    proper-inverse projection the config-driven and multiscale trainers use
+    (ray_utils.py:176-209 via project_points_to_image); 'script' is the
+    standalone scripts' inline ``(p - t) @ R.T`` chain — forward rotation,
+    no inverse, no validity mask (train_lora.py:118-124). The two agree only
+    for identity-rotation poses; script recipes must use 'script'."""
 
     def fn(pts):
+        if projection == "script":
+            pts2d, _ = project_points_script(pts, pose, focal, H, W)
+            return grid_sample(feat_map, pts2d, align_corners=align_corners)
         pts2d, _, valid = project_points_to_image(pts, pose, focal, H, W)
         f = grid_sample(feat_map, pts2d, align_corners=align_corners)
         if invalid_fill == "mean":
@@ -180,12 +194,13 @@ class Trainer:
     # ------------------------------------------------------------------ model
 
     def feature_sampler(self, feat_map, pose):
-        """Config-bound feature sampler (align_corners + invalid-fill from
-        the DINO config)."""
+        """Config-bound feature sampler (align_corners, invalid-fill and
+        projection convention from the DINO config)."""
         return _feature_sampler(
             feat_map, pose, self.focal, self.H, self.W,
             align_corners=self.cfg.dino.align_corners,
             invalid_fill=self.cfg.dino.invalid_fill,
+            projection=self.cfg.dino.projection,
         )
 
     def _model_fn(self, params):
@@ -323,7 +338,14 @@ class Trainer:
 
         p = self.cfg.phases[phase_idx]
         Hp, Wp = p.H, p.W
-        focal = self.focal * (Hp / self.H)  # reference: train.py:267
+        # Focal handling differs by reference surface: the config-driven
+        # trainer scales focal with the downsampled resolution
+        # (train.py:267); the standalone scripts and the multiscale trainer
+        # pass the FULL-resolution focal to get_rays at downsampled sizes
+        # (train_lora.py:110, train_multiscale.py:138) — their low-res
+        # phases render a narrow-FOV center crop against a full-image
+        # downsampled target. Reproduced via cfg.focal_scaling.
+        focal = self.focal * (Hp / self.H) if self.cfg.focal_scaling else self.focal
         targets_np = np.asarray(self.targets_full)
         poses_np = np.asarray(self.poses)
         ros, rds, tgts = [], [], []
@@ -376,33 +398,39 @@ class Trainer:
         # parallel/fused_dp's shard_map wrapper (jit sharding annotations
         # cannot partition a pallas_call): each device runs the kernel on its
         # ray shard, loss/grads psum over ICI against the *global* valid-ray
-        # count. DINO conditioning under a mesh stays on the XLA path (the
-        # per-view feature closure is not plumbed through shard_map).
+        # count. DINO conditioning rides the same path: the per-view feature
+        # map + pose enter shard_map as replicated operands and the feature
+        # sampler runs as an XLA prologue on each device's local ray shard
+        # (reference hot loop: train.py:210-221).
         use_train_kernel = self._kernel_eligible() and rgb_only
         interpret = FORCE_INTERPRET_KERNELS
         dp_kernel_fn = None
         if use_train_kernel and self.mesh is not None:
-            if use_dino:
-                use_train_kernel = False
-            else:
-                from nerf_fewshot_tpu.parallel.fused_dp import (
-                    make_dp_fused_loss_grad,
-                )
+            from nerf_fewshot_tpu.parallel.fused_dp import (
+                make_dp_fused_loss_grad,
+            )
 
-                dp_kernel_fn = make_dp_fused_loss_grad(
-                    self.mesh, settings,
-                    pos_freq=cfg.nerf.pos_freq, dir_freq=cfg.nerf.dir_freq,
-                    num_layers=cfg.nerf.num_layers,
-                    hidden_dim=cfg.nerf.hidden_dim,
-                    use_viewdirs=cfg.nerf.use_viewdirs,
-                    lora_alpha=cfg.nerf.lora_alpha,
-                    interpret=interpret,
-                    compute_dtype=cfg.rendering.compute_dtype,
-                    axis_name=self.mesh.axis_names[0],
-                )
+            dp_kernel_fn = make_dp_fused_loss_grad(
+                self.mesh, settings,
+                pos_freq=cfg.nerf.pos_freq, dir_freq=cfg.nerf.dir_freq,
+                num_layers=cfg.nerf.num_layers,
+                hidden_dim=cfg.nerf.hidden_dim,
+                use_viewdirs=cfg.nerf.use_viewdirs,
+                lora_alpha=cfg.nerf.lora_alpha,
+                interpret=interpret,
+                compute_dtype=cfg.rendering.compute_dtype,
+                axis_name=self.mesh.axis_names[0],
+                point_features_builder=(
+                    self.feature_sampler if use_dino else None
+                ),
+            )
 
         def loss_and_grad(params, key, ro, rd, tgt, mask, feat_map, feat_pose):
             if dp_kernel_fn is not None:
+                if use_dino:
+                    return dp_kernel_fn(
+                        params, key, ro, rd, tgt, mask, feat_map, feat_pose
+                    )
                 return dp_kernel_fn(params, key, ro, rd, tgt, mask)
             if use_train_kernel:
                 from nerf_fewshot_tpu.render.train_kernel import (
@@ -498,6 +526,14 @@ class Trainer:
         for i, p in enumerate(self.cfg.phases):
             if p.start_epoch <= epoch < p.end_epoch:
                 return i
+        if self.cfg.phases and epoch < self.cfg.phases[0].start_epoch:
+            # A gapped/late-starting schedule must not silently train early
+            # epochs at the FINAL phase's resolution (validate_config rejects
+            # these for loaded configs; this guards programmatic ones).
+            raise ValueError(
+                f"epoch {epoch} precedes the first phase "
+                f"(starts at {self.cfg.phases[0].start_epoch})"
+            )
         return len(self.cfg.phases) - 1
 
     def _batch_granularity(self) -> int:

@@ -204,3 +204,133 @@ def test_patch_embed_extractor_end_to_end():
     feats = np.asarray(apply(variables, img))
     assert feats.shape == (14, 14, 768)
     assert np.isfinite(feats).all()
+
+def _orbit_pose(theta=0.9, phi=-0.5, radius=4.0):
+    """A non-identity-rotation blender-style orbit pose (the case where the
+    scripts' forward-rotation projection and the proper inverse projection
+    genuinely diverge)."""
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = radius
+    rot_phi = np.eye(4, dtype=np.float32)
+    rot_phi[1, 1] = rot_phi[2, 2] = np.cos(phi)
+    rot_phi[1, 2], rot_phi[2, 1] = -np.sin(phi), np.sin(phi)
+    rot_theta = np.eye(4, dtype=np.float32)
+    rot_theta[0, 0] = rot_theta[2, 2] = np.cos(theta)
+    rot_theta[0, 2], rot_theta[2, 0] = -np.sin(theta), np.sin(theta)
+    return (rot_theta @ rot_phi @ c2w).astype(np.float32)
+
+
+def _torch_script_chain(pts, pose, focal, H, W, feat, align_corners=True):
+    """The standalone scripts' EXACT feature chain (train_lora.py:118-129):
+    (p - t) @ R.T forward rotation, raw /z (no epsilon), no validity mask,
+    grid_sample zero padding."""
+    tp = torch.from_numpy(pts)
+    tpose = torch.from_numpy(pose)
+    pts_cam = torch.matmul(tp - tpose[:3, 3], tpose[:3, :3].T)
+    x = (pts_cam[:, 0] / pts_cam[:, 2]) * focal + W / 2
+    y = (pts_cam[:, 1] / pts_cam[:, 2]) * focal + H / 2
+    grid = torch.stack(((x / W) * 2 - 1, (y / H) * 2 - 1), dim=-1)
+    gmap = torch.from_numpy(feat).permute(2, 0, 1)[None]
+    return F.grid_sample(
+        gmap, grid.view(1, -1, 1, 2), align_corners=align_corners,
+        mode="bilinear", padding_mode="zeros",
+    )[0, :, :, 0].T.numpy()
+
+
+def test_script_projection_matches_torch_on_rotated_pose():
+    """projection='script' reproduces the scripts' chain on a NON-identity
+    rotation pose — the regime where it differs completely from the proper
+    inverse projection (reference: train_lora.py:118-124 vs
+    ray_utils.py:176-209)."""
+    H = W = 128
+    focal = 100.0
+    feat = RNG.standard_normal((14, 14, 8)).astype(np.float32)
+    pose = _orbit_pose()
+    # points around the origin, the scene volume the orbit pose looks at
+    pts = RNG.uniform(-1.5, 1.5, (256, 3)).astype(np.float32)
+
+    sampler = _feature_sampler(
+        jnp.asarray(feat), jnp.asarray(pose), focal, H, W,
+        align_corners=True, projection="script",
+    )
+    got = np.asarray(sampler(jnp.asarray(pts)))
+    want = _torch_script_chain(pts, pose, focal, H, W, feat)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # and the proper-inverse projection lands somewhere ELSE for this pose —
+    # the divergence the 'script' convention exists to reproduce
+    ref_sampler = _feature_sampler(
+        jnp.asarray(feat), jnp.asarray(pose), focal, H, W,
+        align_corners=True, projection="reference",
+    )
+    ref = np.asarray(ref_sampler(jnp.asarray(pts)))
+    assert float(np.abs(ref - want).max()) > 1e-3
+
+
+def test_script_projection_coords_match_reference_math():
+    """project_points_script's normalized coords against a literal numpy
+    transcription of the scripts' projection lines."""
+    from nerf_fewshot_tpu.ops.rays import project_points_script
+
+    H, W, focal = 100, 120, 85.0
+    pose = _orbit_pose(theta=-1.3, phi=0.4)
+    pts = RNG.uniform(-2.0, 2.0, (64, 3)).astype(np.float32)
+    got2d, gotz = project_points_script(
+        jnp.asarray(pts), jnp.asarray(pose), focal, H, W
+    )
+    cam = (pts - pose[:3, 3]) @ pose[:3, :3].T
+    x = cam[:, 0] / cam[:, 2] * focal + W / 2
+    y = cam[:, 1] / cam[:, 2] * focal + H / 2
+    want = np.stack([(x / W) * 2 - 1, (y / H) * 2 - 1], axis=-1)
+    np.testing.assert_allclose(np.asarray(got2d), want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gotz), cam[:, 2], rtol=1e-5)
+
+
+def test_projection_config_defaults():
+    # patch_embed (the scripts' feature source) defaults to the script chain
+    cfg = config_from_dict({
+        "model": {"use_dino": True, "dino_model_type": "patch_embed"},
+    })
+    assert cfg.dino.projection == "script"
+    # every other surface uses the proper projection
+    cfg = config_from_dict({"model": {"use_dino": True}})
+    assert cfg.dino.projection == "reference"
+    cfg = config_from_dict({"nerf_model": {"arch": "module"},
+                            "model": {"use_dino": True}})
+    assert cfg.dino.projection == "reference"
+    # explicit setting wins
+    cfg = config_from_dict({
+        "model": {"use_dino": True, "dino_model_type": "patch_embed"},
+        "dino_model": {"projection": "reference"},
+    })
+    assert cfg.dino.projection == "reference"
+    # all four script recipes pick it up
+    for name in ("script_baseline", "script_lora", "script_projection",
+                 "script_dino_lora_pose"):
+        assert load_config(f"experiments/{name}.yaml").dino.projection == \
+            "script", name
+
+
+def test_focal_scaling_defaults():
+    """Focal handling differs by reference surface: train.py:267 scales
+    focal with downsampled resolution; the standalone scripts
+    (train_lora.py:110) and train_multiscale.py:138 pass the full-res focal
+    at downsampled sizes."""
+    cfg = config_from_dict({})
+    assert cfg.focal_scaling is True
+    # explicit-phase recipes (the standalone scripts) keep full-res focal
+    cfg = config_from_dict({"training": {"phases": [
+        {"start": 0, "end": 5, "resolution": 16, "n_samples": 32},
+    ]}})
+    assert cfg.focal_scaling is False
+    # module arch (train_multiscale surface) keeps full-res focal
+    cfg = config_from_dict({"nerf_model": {"arch": "module"}})
+    assert cfg.focal_scaling is False
+    # explicit setting wins
+    cfg = config_from_dict({"nerf_model": {"arch": "module"},
+                            "focal_scaling": True})
+    assert cfg.focal_scaling is True
+    for name in ("script_baseline", "script_lora", "script_projection",
+                 "script_dino_lora_pose"):
+        assert load_config(f"experiments/{name}.yaml").focal_scaling is \
+            False, name

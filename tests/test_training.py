@@ -323,3 +323,28 @@ def test_config_validation_rejects_typos(tmp_path):
     p2.write_text(_yaml.safe_dump(bad2))
     with pytest.raises(ValueError, match="invalid_fill"):
         _lc(str(p2))
+
+def test_config_validation_rejects_malformed_phase_schedules():
+    from nerf_fewshot_tpu.training.config import config_from_dict as _cfd
+
+    def phases(spans):
+        return {"training": {"phases": [
+            {"start": s, "end": e, "resolution": 16,
+             "n_samples": 32} for s, e in spans
+        ]}}
+
+    # late start: early epochs would silently train at the LAST phase's shape
+    with pytest.raises(ValueError, match="start at 0"):
+        _cfd(phases([(1, 10), (10, 20)]))
+    # gap between phases
+    with pytest.raises(ValueError, match="not contiguous"):
+        _cfd(phases([(0, 10), (12, 20)]))
+    # overlap is also non-contiguous
+    with pytest.raises(ValueError, match="not contiguous"):
+        _cfd(phases([(0, 10), (8, 20)]))
+    # empty phase
+    with pytest.raises(ValueError, match="empty"):
+        _cfd(phases([(0, 0)]))
+    # a well-formed schedule passes
+    cfg = _cfd(phases([(0, 10), (10, 20)]))
+    assert len(cfg.phases) == 2
