@@ -50,6 +50,12 @@ def _precompute_features(cfg, train_data) -> Optional[np.ndarray]:
     LoRA never receives gradients there (behavior reproduced)."""
     if not cfg.dino.use_dino:
         return None
+    if cfg.dino.model_type == "dino_lora":
+        raise SystemExit(
+            "dino.model_type=dino_lora is the offline token dumper "
+            "(extract-features); training conditions on a spatial feature "
+            "grid — use single_scale/multi_scale/patch_embed"
+        )
     from nerf_fewshot_tpu.models.dino import build_feature_extractor
 
     extractor, variables = build_feature_extractor(cfg.dino, cfg.data.resolution)
@@ -80,6 +86,12 @@ def cmd_train(args) -> None:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, epochs=args.epochs)
+    if args.wandb:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, output=dataclasses.replace(cfg.output, use_wandb=True)
+        )
 
     train_data, test_data = _load_datasets(cfg, args.synthetic)
     dino_features = _precompute_features(cfg, train_data)
@@ -139,14 +151,33 @@ def cmd_evaluate(args) -> None:
 
 def cmd_extract_features(args) -> None:
     """Precompute per-view feature maps to .npz (the reference's
-    extract_features.py equivalent, src/training/extract_features.py)."""
+    extract_features.py equivalent, src/training/extract_features.py).
+
+    ``dino.model_type: dino_lora`` selects the reference's faithful offline
+    dump: LoRADINO over the full processor chain, saving CLS-STRIPPED
+    ``last_hidden_state`` patch tokens per view — (V, Hp·Wp, hidden), the
+    reference's ``features[:, 1:]`` (extract_features.py:33-35). Every other
+    model_type dumps the configured extractor's projected feature grids
+    (the training-path superset behavior)."""
     from nerf_fewshot_tpu.training.config import load_config
 
     cfg = load_config(args.config)
     train_data, _ = _load_datasets(cfg, args.synthetic)
-    feats = _precompute_features(cfg, train_data)
-    if feats is None:
+    if not cfg.dino.use_dino:
         raise SystemExit("config has model.use_dino: false — nothing to extract")
+    if cfg.dino.model_type == "dino_lora":
+        from nerf_fewshot_tpu.models.dino import build_feature_extractor
+
+        extractor, variables = build_feature_extractor(
+            cfg.dino, cfg.data.resolution
+        )
+        images = train_data.white_composited()
+        feats = np.stack([
+            np.asarray(extractor(variables, images[v]))[1:]  # drop CLS
+            for v in range(train_data.n_views)
+        ])
+    else:
+        feats = _precompute_features(cfg, train_data)
     out = args.output or os.path.join(cfg.output.save_dir, "features.npz")
     os.makedirs(os.path.dirname(os.path.abspath(out)) or ".", exist_ok=True)
     np.savez_compressed(out, features=feats)
@@ -185,6 +216,11 @@ def main(argv=None) -> None:
     p_train.add_argument("--nan-guard", action="store_true",
                          help="re-run de-optimized on NaN and raise at the "
                               "offending primitive (jax_debug_nans)")
+    p_train.add_argument("--wandb", action="store_true",
+                         help="mirror training/eval records to a wandb run "
+                              "(the reference trainer's tracking sink, "
+                              "train.py:345-371); equivalent to "
+                              "output.use_wandb: true")
     p_train.set_defaults(fn=cmd_train)
 
     p_eval = sub.add_parser("evaluate", help="checkpoint analysis harness")

@@ -135,17 +135,24 @@ class MultiScaleDINOFeatures(nn.Module):
 
 
 class LoRADINO(nn.Module):
-    """Minimal LoRA-DINO wrapper: image → full token sequence (CLS included),
-    the reference's ``dino_lora.LoRADINO`` surface
-    (reference: src/models/dino_lora.py:34-57). Used by the offline feature
-    dumper; the spatial extractors above are the training-path variants."""
+    """Minimal LoRA-DINO wrapper: preprocessed pixel values → full token
+    sequence (CLS included), the reference's ``dino_lora.LoRADINO`` surface
+    (reference: src/models/dino_lora.py:34-57 — frozen DINOv2 with LoRA
+    injected into q/k/v, default r=4/α=16). Used by the offline feature
+    dumper (extract_features.py:20-35); the spatial extractors above are
+    the training-path variants.
 
-    vit: ViTConfig = ViTConfig(lora_rank=16)
+    The input is the *processor output* — apply
+    :func:`models.vit.preprocess_dinov2_processor_input` first, exactly as
+    the reference forwards ``processor(images=x)`` into the backbone
+    (dino_lora.py:51-56)."""
+
+    vit: ViTConfig = ViTConfig(lora_rank=4)
 
     @nn.compact
-    def __call__(self, image: jnp.ndarray, deterministic: bool = True):
+    def __call__(self, pixel_values: jnp.ndarray, deterministic: bool = True):
         return DINOv2ViT(self.vit, name="backbone")(
-            normalize_image(image), deterministic=deterministic
+            pixel_values, deterministic=deterministic
         )
 
 
@@ -158,6 +165,29 @@ def build_feature_extractor(
     feature grid. Pretrained backbone weights can be merged into
     ``variables['params']['backbone']`` via models.vit.load_hf_dinov2_weights.
     """
+    if dino_cfg.model_type == "dino_lora":
+        # The reference's offline token dumper (extract_features.py:20-35):
+        # LoRADINO over the full processor chain; apply_fn returns the FULL
+        # (1 + Hp·Wp, hidden) token sequence — the dump site strips CLS,
+        # matching the reference's features[:, 1:] split of responsibilities.
+        from nerf_fewshot_tpu.models.vit import (
+            preprocess_dinov2_processor_input,
+        )
+
+        rank = dino_cfg.lora_rank if dino_cfg.lora_rank > 0 else 4
+        model = LoRADINO(
+            vit=ViTConfig(lora_rank=rank, lora_alpha=dino_cfg.lora_alpha)
+        )
+        dummy = jnp.zeros((224, 224, 3))
+        variables = model.init(jax.random.key(0), dummy)
+        token_fn = jax.jit(model.apply)
+
+        def apply(variables, image01):
+            x = preprocess_dinov2_processor_input(image01)
+            return token_fn(variables, jnp.asarray(x))
+
+        return apply, variables
+
     if dino_cfg.model_type == "patch_embed":
         # The standalone scripts' actual feature source: torchvision
         # ViT-B/16 patch-embedding conv only, on a 224×224 mean/std-0.5

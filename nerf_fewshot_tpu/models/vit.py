@@ -238,6 +238,49 @@ def preprocess_vit_b16_input(image01: np.ndarray, size: int = 224) -> np.ndarray
     return (out - 0.5) / 0.5
 
 
+def preprocess_dinov2_processor_input(image01: np.ndarray) -> np.ndarray:
+    """The reference offline feature dumper's EXACT host preprocessing
+    (reference: src/training/extract_features.py:15-21 load_image transform
+    + src/models/dino_lora.py:49-52 processor call).
+
+    Two chained stages, both reproduced bit-for-bit (verified against the
+    real ``transformers.BitImageProcessor`` with dinov2-base's published
+    constants in tests/test_dino.py):
+
+    1. ``ToPILImage → Resize((224,224), bilinear) → ToTensor`` — uint8
+       truncation then PIL resize; output [0,1].
+    2. The HF ``AutoImageProcessor`` applied to that *already-rescaled*
+       tensor: PIL round-trip (float [0,1] → ×255 trunc → uint8), bicubic
+       resize shortest-edge 256, center-crop 224, then ``rescale(1/255)``
+       AGAIN — the reference double-rescales, so the backbone sees values in
+       [0, 1/255] before ImageNet normalization (≈ a uniformly dark image).
+       This quirk shapes every published token dump and is reproduced
+       deliberately.
+
+    Returns a (224, 224, 3) float32 array.
+    """
+    from PIL import Image
+
+    arr = np.asarray(image01)
+    # stage 1: the dumper's torchvision transform
+    u8 = (np.clip(arr, 0.0, 1.0) * 255.0).astype(np.uint8)  # trunc (.byte())
+    x = np.asarray(
+        Image.fromarray(u8).resize((224, 224), Image.BILINEAR), np.float32
+    ) / 255.0
+    # stage 2: BitImageProcessor on the [0,1] tensor. to_pil_image rescales
+    # ×255 with truncation, resizes shortest-edge→256 bicubic, rescales the
+    # PIL trip back (÷255), center-crops 224, then applies the processor's
+    # own rescale_factor=1/255 — the double-rescale.
+    u8 = np.clip(np.floor(x * 255.0), 0, 255).astype(np.uint8)
+    x = np.asarray(
+        Image.fromarray(u8).resize((256, 256), Image.BICUBIC), np.float32
+    ) / 255.0
+    top = (256 - 224) // 2
+    x = x[top:top + 224, top:top + 224]
+    x = x * (1.0 / 255.0)
+    return ((x - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
+
+
 def load_torchvision_patch_embed(params, state_dict) -> Any:
     """Map a torchvision ``vit_b_16`` state_dict's patch-embedding conv into
     a :class:`ViTPatchEmbed` param tree (keys ``conv_proj.weight/bias``).

@@ -80,7 +80,10 @@ class DINOConfig:
     # 'multi_scale' = MultiScaleDINOFeatures (train_multiscale.py);
     # 'patch_embed' = torchvision ViT-B/16 patch-embedding-only conv — the
     # standalone scripts' *actual* feature source despite their "DINO"
-    # naming (reference: train_baseline.py:33,55-64).
+    # naming (reference: train_baseline.py:33,55-64);
+    # 'dino_lora' = the minimal LoRA-DINO token dumper used ONLY by
+    # extract-features (reference: extract_features.py:20-35) — dumps
+    # CLS-stripped patch tokens, not a trainable feature grid.
     model_type: str = "single_scale"
     name: str = "facebook/dinov2-base"
     use_lora: bool = False
@@ -156,6 +159,12 @@ class OutputConfig:
     # 'jsonl' (default) or 'csv' (the reference's hand-rolled loss CSV,
     # train_dino_lora_pose.py:65,129-131).
     log_format: str = "jsonl"
+    # Mirror records to a wandb run, the reference config-trainer's tracking
+    # sink (train.py:345-371). Off by default; also reachable via the CLI
+    # --wandb flag. The package/credentials are probed lazily — absent wandb
+    # degrades to the JSONL sink alone.
+    use_wandb: bool = False
+    wandb_project: str = "nerf-fewshot-tpu"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -259,10 +268,13 @@ def config_from_dict(d: Dict[str, Any]) -> Config:
         model_type=model_type,
         name=pick((dino_d, "name"), (model_d, "dino_model"),
                   default="facebook/dinov2-base"),
+        # dino_lora (the offline dumper) ALWAYS injects LoRA, default r=4
+        # (dino_lora.py:34); the training extractors default to r=16 when
+        # use_lora is opted in (dino_feature_model.py:40-44).
         use_lora=bool(pick((dino_d, "use_lora"), (model_d, "use_lora"),
-                           default=False)),
+                           default=(model_type == "dino_lora"))),
         lora_rank=int(pick((dino_d, "lora_rank"), (model_d, "lora_rank"),
-                           default=16)),
+                           default=(4 if model_type == "dino_lora" else 16))),
         lora_alpha=float(pick((dino_d, "lora_alpha"), (model_d, "lora_alpha"),
                               default=16.0)),
         output_dim=int(pick((model_d, "dino_dim"), default=64)),
@@ -381,6 +393,10 @@ def config_from_dict(d: Dict[str, Any]) -> Config:
         save_freq=int(pick((out_d, "save_freq"), default=50)),
         log_freq=int(pick((out_d, "log_freq"), default=1)),
         log_format=str(pick((out_d, "log_format"), default="jsonl")),
+        use_wandb=bool(pick((out_d, "use_wandb"), (d, "use_wandb"),
+                            default=False)),
+        wandb_project=str(pick((out_d, "wandb_project"),
+                               default="nerf-fewshot-tpu")),
     )
     return validate_config(Config(
         name=str(exp.get("name", "experiment")),
@@ -421,7 +437,8 @@ def config_from_dict(d: Dict[str, Any]) -> Config:
 
 
 _VALID = {
-    "dino.model_type": {"single_scale", "multi_scale", "patch_embed"},
+    "dino.model_type": {"single_scale", "multi_scale", "patch_embed",
+                        "dino_lora"},
     "dino.invalid_fill": {"zeros", "mean"},
     "dino.projection": {"reference", "script"},
     "nerf.arch": {"functional", "module"},

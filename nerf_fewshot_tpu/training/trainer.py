@@ -187,7 +187,11 @@ class Trainer:
         self._phase_data: Dict[int, PhaseData] = {}
         self._step_fns: Dict[int, Callable] = {}
         self._np_rng = np.random.default_rng(cfg.seed)
-        self.logger = JSONLLogger(path=log_path, run_name=cfg.name, config=cfg.raw)
+        self.logger = JSONLLogger(
+            path=log_path, run_name=cfg.name, config=cfg.raw,
+            use_wandb=cfg.output.use_wandb,
+            wandb_project=cfg.output.wandb_project,
+        )
         self.lpips = LPIPSMetric()
         self.rate_meter = RateMeter()
 
@@ -712,6 +716,12 @@ class Trainer:
         }
         if all_lpips:
             metrics["lpips"] = float(np.mean(all_lpips))
+            # Provenance: a random-init-feature LPIPS is a valid distance but
+            # its absolute scale is NOT comparable to the reference's
+            # published pretrained-VGG numbers (train.py:324-329) — make
+            # every artifact that carries the number self-describing.
+            metrics["lpips_pretrained"] = bool(self.lpips.pretrained)
+            metrics["lpips_backend"] = str(self.lpips.backend)
         return metrics
 
     # ------------------------------------------------------------------ train

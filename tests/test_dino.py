@@ -213,3 +213,98 @@ def test_hf_weight_import_mapping():
     # imported tree still runs
     out = DINOv2ViT(TINY).apply({"params": new}, jnp.zeros((32, 32, 3)))
     assert bool(jnp.all(jnp.isfinite(out)))
+
+def test_dinov2_processor_preprocessing_matches_hf_oracle():
+    """preprocess_dinov2_processor_input vs the REAL transformers
+    BitImageProcessor (constructed with dinov2-base's published constants —
+    no network needed) composed after the dumper's torchvision transform
+    (reference: extract_features.py:15-21 + dino_lora.py:49-52). Pins the
+    double-rescale quirk: the backbone sees values in [0, 1/255] before
+    ImageNet normalization."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from PIL import Image as PILImage
+    from nerf_fewshot_tpu.models.vit import preprocess_dinov2_processor_input
+
+    proc = transformers.BitImageProcessor(
+        do_resize=True, size={"shortest_edge": 256}, resample=3,
+        do_center_crop=True, crop_size={"height": 224, "width": 224},
+        do_rescale=True, rescale_factor=1 / 255, do_normalize=True,
+        image_mean=[0.485, 0.456, 0.406], image_std=[0.229, 0.224, 0.225],
+        do_convert_rgb=True,
+    )
+    rng = np.random.default_rng(11)
+    img01 = rng.uniform(0, 1, (128, 160, 3)).astype(np.float32)
+
+    # the dumper's load_image: ToPILImage(trunc) → Resize((224,224)) → ToTensor
+    u8 = (img01 * 255.0).astype(np.uint8)
+    pil = PILImage.fromarray(u8).resize((224, 224), PILImage.BILINEAR)
+    tens = torch.from_numpy(
+        np.asarray(pil).astype(np.float32) / 255.0
+    ).permute(2, 0, 1)
+    want = proc(images=tens, return_tensors="pt")["pixel_values"][0]
+    want = want.permute(1, 2, 0).numpy()
+
+    got = preprocess_dinov2_processor_input(img01)
+    assert got.shape == (224, 224, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # the double-rescale quirk: un-normalized values sit in [0, 1/255]
+    un = got * np.array([0.229, 0.224, 0.225]) + np.array([0.485, 0.456, 0.406])
+    assert un.max() <= 1.0 / 255.0 + 1e-5
+
+
+def test_dino_lora_token_extractor():
+    """build_feature_extractor('dino_lora') → full (1+256, 768) token
+    sequence at 224/14 patches; LoRA params injected at q/k/v with the
+    reference's default rank 4 (dino_lora.py:34)."""
+    from nerf_fewshot_tpu.models.dino import build_feature_extractor
+    from nerf_fewshot_tpu.training.config import config_from_dict
+
+    cfg = config_from_dict({
+        "model": {"use_dino": True, "dino_model_type": "dino_lora"},
+    })
+    apply, variables = build_feature_extractor(cfg.dino, image_size=64)
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    tokens = np.asarray(apply(variables, img))
+    assert tokens.shape == (1 + 16 * 16, 768)  # 224/14 = 16 per side
+    assert np.isfinite(tokens).all()
+    # LoRA injected into attention q/k/v (reference injects exactly there,
+    # dino_lora.py:44-48)
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(variables["params"], sep="/")
+    lora_keys = [k for k in flat if "lora_a" in k]
+    assert lora_keys, "no LoRA params in the dino_lora extractor"
+    assert any("query/lora_a" in k for k in lora_keys)
+    assert any("key/lora_a" in k for k in lora_keys)
+    assert any("value/lora_a" in k for k in lora_keys)
+    rank4 = [k for k in lora_keys if flat[k].shape[-1] == 4]
+    assert rank4, "LoRA rank is not the reference default 4"
+
+
+def test_cli_extract_features_dino_lora(tmp_path, monkeypatch, capsys):
+    """extract-features with dino.model_type=dino_lora dumps CLS-stripped
+    patch tokens (V, 256, 768) — the reference's features[:, 1:] output
+    (extract_features.py:33-35)."""
+    import yaml as _yaml
+    from nerf_fewshot_tpu.cli import main
+
+    cfg = {
+        "experiment": {"name": "dump"},
+        "data": {"resolution": 32, "num_views": 2},
+        "model": {"use_dino": True, "dino_model_type": "dino_lora"},
+        "output": {"save_dir": str(tmp_path / "out")},
+    }
+    cfg_path = tmp_path / "dump.yaml"
+    cfg_path.write_text(_yaml.safe_dump(cfg))
+    out = str(tmp_path / "tokens.npz")
+    main(["extract-features", "--config", str(cfg_path), "--synthetic",
+          "--output", out])
+    data = np.load(out)["features"]
+    assert data.shape == (2, 256, 768)
+    assert np.isfinite(data).all()
+    # and training with the dumper extractor is rejected with a clear error
+    with pytest.raises(SystemExit, match="token dumper"):
+        main(["train", "--config", str(cfg_path), "--synthetic",
+              "--epochs", "1"])
