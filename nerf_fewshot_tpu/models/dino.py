@@ -156,14 +156,39 @@ class LoRADINO(nn.Module):
         )
 
 
+def _merge_pretrained_backbone(variables, model_name: str):
+    """Weight-discovery chain for DINOv2 backbones: $NERF_DINOV2_WEIGHTS →
+    HF hub cache → merge via load_hf_dinov2_weights. No-op when nothing is
+    on disk (zero-egress environments run random-init). Mirrors the
+    reference's AutoModel.from_pretrained resolution
+    (dino_feature_model.py:38-39)."""
+    from nerf_fewshot_tpu.models.vit import (
+        find_dinov2_weights,
+        load_hf_dinov2_weights,
+        load_state_dict_file,
+    )
+
+    path = find_dinov2_weights(model_name)
+    if path is None:
+        return variables, False
+    sd = load_state_dict_file(path)
+    params = dict(variables["params"])
+    params["backbone"] = load_hf_dinov2_weights(params["backbone"], sd)
+    print(f"[dino] loaded pretrained backbone weights from {path}")
+    return {**variables, "params": params}, True
+
+
 def build_feature_extractor(
     dino_cfg, image_size: int, vit: ViTConfig = None
 ) -> Tuple[Callable, Any]:
     """Construct the configured extractor; returns (apply_fn, variables).
 
     ``apply_fn(variables, image01)`` maps an (H, W, 3) [0,1] image to its
-    feature grid. Pretrained backbone weights can be merged into
-    ``variables['params']['backbone']`` via models.vit.load_hf_dinov2_weights.
+    feature grid. Pretrained backbone weights are discovered automatically
+    ($NERF_DINOV2_WEIGHTS / $NERF_VIT_B16_WEIGHTS, then the HF/torch hub
+    caches) and merged into ``variables['params']['backbone']`` via
+    models.vit.load_hf_dinov2_weights; absent weights leave the seeded
+    random init (zero-egress behavior).
     """
     if dino_cfg.model_type == "dino_lora":
         # The reference's offline token dumper (extract_features.py:20-35):
@@ -180,6 +205,7 @@ def build_feature_extractor(
         )
         dummy = jnp.zeros((224, 224, 3))
         variables = model.init(jax.random.key(0), dummy)
+        variables, _ = _merge_pretrained_backbone(variables, dino_cfg.name)
         token_fn = jax.jit(model.apply)
 
         def apply(variables, image01):
@@ -202,6 +228,23 @@ def build_feature_extractor(
         model = ViTPatchEmbed()
         dummy = jnp.zeros((224, 224, 3))
         variables = model.init(jax.random.key(0), dummy)
+        # discovery: the scripts' vit_b_16(weights=DEFAULT) cache
+        from nerf_fewshot_tpu.models.vit import (
+            find_torchvision_vit_b16_weights,
+            load_state_dict_file,
+            load_torchvision_patch_embed,
+        )
+
+        tv_path = find_torchvision_vit_b16_weights()
+        if tv_path is not None:
+            sd = load_state_dict_file(tv_path)
+            variables = {
+                **variables,
+                "params": load_torchvision_patch_embed(
+                    variables["params"], sd
+                ),
+            }
+            print(f"[dino] loaded vit_b_16 patch-embed weights from {tv_path}")
 
         conv_fn = jax.jit(model.apply)
 
@@ -222,6 +265,7 @@ def build_feature_extractor(
         model = SpatialDINOFeatures(vit=vit, image_size=image_size)
     dummy = jnp.zeros((image_size, image_size, 3))
     variables = model.init(jax.random.key(0), dummy)
+    variables, _ = _merge_pretrained_backbone(variables, dino_cfg.name)
 
     @jax.jit  # one compile, reused per view (eager ViT dispatch is slow)
     def apply_fn(variables, image01):

@@ -21,7 +21,8 @@ TPU notes: token counts here are tiny (81-256); everything runs as dense
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+import os
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -298,6 +299,65 @@ def load_torchvision_patch_embed(params, state_dict) -> Any:
         if "conv_proj/bias" in flat and flat["conv_proj/bias"].shape == b.shape:
             flat["conv_proj/bias"] = jnp.asarray(b)
     return flax.traverse_util.unflatten_dict(flat, sep="/")
+
+
+def find_dinov2_weights(
+    model_name: str = "facebook/dinov2-base",
+) -> Optional[str]:
+    """Locate a DINOv2 torch state_dict on disk, mirroring where the
+    reference's ``AutoModel.from_pretrained`` would find it
+    (reference: dino_feature_model.py:38-39): ``$NERF_DINOV2_WEIGHTS``
+    first (a direct file path), then the HuggingFace hub cache
+    (``$HF_HOME``/``~/.cache/huggingface``) snapshot directories."""
+    p = os.environ.get("NERF_DINOV2_WEIGHTS")
+    if p and os.path.isfile(p):
+        return p
+    hub = os.path.join(
+        os.environ.get("HF_HOME", os.path.expanduser("~/.cache/huggingface")),
+        "hub",
+    )
+    repo = "models--" + model_name.replace("/", "--")
+    snaps = os.path.join(hub, repo, "snapshots")
+    if os.path.isdir(snaps):
+        for snap in sorted(os.listdir(snaps)):
+            for fname in ("pytorch_model.bin", "model.safetensors"):
+                cand = os.path.join(snaps, snap, fname)
+                if os.path.isfile(cand):
+                    return cand
+    return None
+
+
+def load_state_dict_file(path: str) -> dict:
+    """Load a torch ``.bin``/``.pth`` or ``.safetensors`` state_dict from
+    disk as a dict of numpy arrays."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+            for k, v in sd.items()}
+
+
+def find_torchvision_vit_b16_weights() -> Optional[str]:
+    """Locate a torchvision ``vit_b_16`` checkpoint, mirroring where the
+    standalone scripts' ``vit_b_16(weights=DEFAULT)`` caches it
+    (reference: train_baseline.py:33): ``$NERF_VIT_B16_WEIGHTS`` first,
+    then the torch hub cache."""
+    p = os.environ.get("NERF_VIT_B16_WEIGHTS")
+    if p and os.path.isfile(p):
+        return p
+    hub = os.path.join(
+        os.environ.get("TORCH_HOME", os.path.expanduser("~/.cache/torch")),
+        "hub", "checkpoints",
+    )
+    if os.path.isdir(hub):
+        for name in sorted(os.listdir(hub)):
+            if name.startswith("vit_b_16") and name.endswith(".pth"):
+                return os.path.join(hub, name)
+    return None
 
 
 def load_hf_dinov2_weights(params, state_dict) -> Any:

@@ -89,3 +89,36 @@ def test_two_process_full_trainer():
         assert m, out
         losses.append(m.group(1))
     assert losses[0] == losses[1], losses
+
+def test_two_process_full_trainer_fused_kernel():
+    """The shard_map fused-kernel path ACROSS PROCESS BOUNDARIES (interpret
+    mode): 2-process mesh, Trainer dispatches parallel/fused_dp, losses
+    bit-equal across processes. Round 2 only proved this on a
+    single-process 8-device mesh."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m",
+                "nerf_fewshot_tpu.parallel.multihost_train_smoke",
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", "2",
+                "--process-id", str(i),
+                "--cpu", "--epochs", "2", "--interpret-kernels",
+            ],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+    losses = []
+    for out in outs:
+        m = re.search(r"kernel=fused losses=([0-9.,]+)", out)
+        assert m, out
+        losses.append(m.group(1))
+    assert losses[0] == losses[1], losses
