@@ -44,15 +44,29 @@ from nerf_fewshot_tpu.render.kernels import (
 )
 from nerf_fewshot_tpu.render.pipeline import RenderSettings
 
+# Default sub-chain interleave for the train kernels: number of independent
+# ray groups whose trunk chains are walked layer-by-layer inside one grid
+# step, letting the MXU overlap consecutive dependent matmuls' fill/drain.
+# Sweepable via fused_train_loss_grad(interleave=...) / benchmarks.
+TRAIN_INTERLEAVE = 1
+
 
 def _objective_body(
     x, z_ref, dnorm_ref, tgt_ref, mask_ref, invd_ref,
     w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
     loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
-    *, S, white_bkgd, compute_dtype,
+    *, S, white_bkgd, compute_dtype, interleave=1,
 ):
     """Shared kernel body: forward → loss partial → analytic backward → dW
-    accumulation, for an already-encoded tile input ``x``."""
+    accumulation, for an already-encoded tile input ``x``.
+
+    ``interleave``: split the tile's rays into this many INDEPENDENT
+    sub-chains and walk the trunk layer-by-layer across all of them. The
+    per-tile residual at flagship shapes is dependent-matmul latency (each
+    layer's matmul waits on the previous one's drain); interleaved chains
+    give the MXU a second in-flight matmul to overlap fill/drain bubbles
+    with. Numerics are identical (same per-row math, same accumulation
+    order into the dW refs)."""
     R = z_ref.shape[0]
     N = R * S
 
@@ -66,77 +80,129 @@ def _objective_body(
         dwout_ref[:] = jnp.zeros_like(dwout_ref)
         dbout_ref[:] = jnp.zeros_like(dbout_ref)
 
-    out, acts = _mlp_forward(
-        x, w0_ref[:], b0_ref[:], wh_ref[:], bh_ref[:], wout_ref[:],
-        bout_ref[:], save_acts=True, compute_dtype=compute_dtype,
-    )
-    rgb_s = jax.nn.sigmoid(out[:, 0:3]).reshape(R, S, 3)
-    sigma = out[:, 3].reshape(R, S)
-    z = z_ref[:]
-    alpha, om, dists, trans, weights = _composite(
-        sigma, z, dnorm_ref[:], white_bkgd
-    )
-    rgb_map = jnp.sum(weights[..., None] * rgb_s, axis=1)  # (R, 3)
-    if white_bkgd:
-        acc = jnp.sum(weights, axis=1, keepdims=True)
-        rgb_map = rgb_map + (1.0 - acc)
+    K = interleave if R % interleave == 0 else 1
+    Rc, Nc = R // K, N // K
 
-    # Masked-MSE loss partial and its rgb cotangent.
-    inv_denom = invd_ref[0, 0]
-    mask = mask_ref[:]  # (R, 1)
-    err = (rgb_map - tgt_ref[:]) * mask
-    # (1,1) block store — Mosaic disallows scalar stores to VMEM
-    loss_ref[:] += (jnp.sum(err * err) * inv_denom).reshape(1, 1)
-    g_rgb = 2.0 * err * inv_denom  # (R, 3)
-
-    g_acc_scalar = jnp.zeros((R, 1), z.dtype)
-    if white_bkgd:
-        g_acc_scalar = -jnp.sum(g_rgb, axis=1, keepdims=True)
-
-    d_rgb_s = weights[..., None] * g_rgb[:, None, :]
-    dLdw = jnp.sum(rgb_s * g_rgb[:, None, :], axis=2) + g_acc_scalar
-    s_after = jnp.dot(
-        dLdw * weights, _tri_after(S, z.dtype).T,
-        preferred_element_type=jnp.float32,
-    )
-    d_alpha = dLdw * trans - s_after / om
-    d_sigma = d_alpha * (1.0 - alpha) * dists * (sigma > 0.0).astype(z.dtype)
-
-    d_pre_rgb = (d_rgb_s * rgb_s * (1.0 - rgb_s)).reshape(N, 3)
-    g_out = jnp.concatenate(
-        [d_pre_rgb, d_sigma.reshape(N, 1),
-         jnp.zeros((N, OUT_PAD - 4), z.dtype)],
-        axis=1,
-    )
-
-    h_last = acts[-1]
-    dwout_ref[:] += _dot(h_last.T, g_out, compute_dtype)
-    dbout_ref[:] += jnp.sum(g_out, axis=0, keepdims=True)
-    g_h = _dot(g_out, wout_ref[:].T, compute_dtype)
-
+    # ---- forward: layer-interleaved across the K independent sub-chains
+    xs = [x[k * Nc:(k + 1) * Nc] for k in range(K)]
+    acts = [[xc] for xc in xs]
+    hs = [
+        jnp.maximum(_dot(xc, w0_ref[:], compute_dtype) + b0_ref[:], 0.0)
+        for xc in xs
+    ]
     n_hidden = wh_ref.shape[0]
-    for l in range(n_hidden - 1, -1, -1):
-        g_h = g_h * (acts[l + 2] > 0.0).astype(z.dtype)
-        dwh_ref[l] += _dot(acts[l + 1].T, g_h, compute_dtype)
-        dbh_ref[l] += jnp.sum(g_h, axis=0, keepdims=True)[0]
-        g_h = _dot(g_h, wh_ref[l].T, compute_dtype)
+    for l in range(n_hidden):
+        for k in range(K):
+            acts[k].append(hs[k])
+        hs = [
+            jnp.maximum(_dot(h, wh_ref[l], compute_dtype) + bh_ref[l], 0.0)
+            for h in hs
+        ]
+    for k in range(K):
+        acts[k].append(hs[k])
+    outs = [_dot(h, wout_ref[:], compute_dtype) + bout_ref[:] for h in hs]
 
-    g_h = g_h * (acts[1] > 0.0).astype(z.dtype)
-    dw0_ref[:] += _dot(acts[0].T, g_h, compute_dtype)
-    db0_ref[:] += jnp.sum(g_h, axis=0, keepdims=True)
+    # ---- composite + loss + head cotangent per sub-chain (VPU work)
+    z = z_ref[:]
+    dnorm = dnorm_ref[:]
+    tgt = tgt_ref[:]
+    mask_all = mask_ref[:]  # (R, 1)
+    inv_denom = invd_ref[0, 0]
+    loss_acc = jnp.zeros((1, 1), z.dtype)
+    g_outs = []
+    for k in range(K):
+        rows = slice(k * Rc, (k + 1) * Rc)
+        out = outs[k]
+        rgb_s = jax.nn.sigmoid(out[:, 0:3]).reshape(Rc, S, 3)
+        sigma = out[:, 3].reshape(Rc, S)
+        zk = z[rows]
+        alpha, om, dists, trans, weights = _composite(
+            sigma, zk, dnorm[rows], white_bkgd
+        )
+        rgb_map = jnp.sum(weights[..., None] * rgb_s, axis=1)  # (Rc, 3)
+        if white_bkgd:
+            acc = jnp.sum(weights, axis=1, keepdims=True)
+            rgb_map = rgb_map + (1.0 - acc)
+
+        # Masked-MSE loss partial and its rgb cotangent.
+        mask = mask_all[rows]
+        err = (rgb_map - tgt[rows]) * mask
+        loss_acc += (jnp.sum(err * err) * inv_denom).reshape(1, 1)
+        g_rgb = 2.0 * err * inv_denom  # (Rc, 3)
+
+        g_acc_scalar = jnp.zeros((Rc, 1), z.dtype)
+        if white_bkgd:
+            g_acc_scalar = -jnp.sum(g_rgb, axis=1, keepdims=True)
+
+        d_rgb_s = weights[..., None] * g_rgb[:, None, :]
+        dLdw = jnp.sum(rgb_s * g_rgb[:, None, :], axis=2) + g_acc_scalar
+        s_after = jnp.dot(
+            dLdw * weights, _tri_after(S, z.dtype).T,
+            preferred_element_type=jnp.float32,
+        )
+        d_alpha = dLdw * trans - s_after / om
+        d_sigma = (
+            d_alpha * (1.0 - alpha) * dists * (sigma > 0.0).astype(z.dtype)
+        )
+
+        d_pre_rgb = (d_rgb_s * rgb_s * (1.0 - rgb_s)).reshape(Nc, 3)
+        g_outs.append(jnp.concatenate(
+            [d_pre_rgb, d_sigma.reshape(Nc, 1),
+             jnp.zeros((Nc, OUT_PAD - 4), z.dtype)],
+            axis=1,
+        ))
+
+    # (1,1) block store — Mosaic disallows scalar stores to VMEM
+    loss_ref[:] += loss_acc
+
+    # ---- backward: layer-interleaved g_h chains; dW sums over sub-chains
+    dwout_acc = _dot(acts[0][-1].T, g_outs[0], compute_dtype)
+    dbout_acc = jnp.sum(g_outs[0], axis=0, keepdims=True)
+    for k in range(1, K):
+        dwout_acc += _dot(acts[k][-1].T, g_outs[k], compute_dtype)
+        dbout_acc += jnp.sum(g_outs[k], axis=0, keepdims=True)
+    dwout_ref[:] += dwout_acc
+    dbout_ref[:] += dbout_acc
+    g_hs = [_dot(g, wout_ref[:].T, compute_dtype) for g in g_outs]
+
+    for l in range(n_hidden - 1, -1, -1):
+        g_hs = [
+            g * (acts[k][l + 2] > 0.0).astype(z.dtype)
+            for k, g in enumerate(g_hs)
+        ]
+        dwh_acc = _dot(acts[0][l + 1].T, g_hs[0], compute_dtype)
+        dbh_acc = jnp.sum(g_hs[0], axis=0, keepdims=True)
+        for k in range(1, K):
+            dwh_acc += _dot(acts[k][l + 1].T, g_hs[k], compute_dtype)
+            dbh_acc += jnp.sum(g_hs[k], axis=0, keepdims=True)
+        dwh_ref[l] += dwh_acc
+        dbh_ref[l] += dbh_acc[0]
+        g_hs = [_dot(g, wh_ref[l].T, compute_dtype) for g in g_hs]
+
+    g_hs = [
+        g * (acts[k][1] > 0.0).astype(z.dtype) for k, g in enumerate(g_hs)
+    ]
+    dw0_acc = _dot(acts[0][0].T, g_hs[0], compute_dtype)
+    db0_acc = jnp.sum(g_hs[0], axis=0, keepdims=True)
+    for k in range(1, K):
+        dw0_acc += _dot(acts[k][0].T, g_hs[k], compute_dtype)
+        db0_acc += jnp.sum(g_hs[k], axis=0, keepdims=True)
+    dw0_ref[:] += dw0_acc
+    db0_ref[:] += db0_acc
 
 
 def _train_kernel(
     x_ref, z_ref, dnorm_ref, tgt_ref, mask_ref, invd_ref,
     w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
     loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
-    *, S, white_bkgd, compute_dtype,
+    *, S, white_bkgd, compute_dtype, interleave=1,
 ):
     _objective_body(
         x_ref[:], z_ref, dnorm_ref, tgt_ref, mask_ref, invd_ref,
         w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
         loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
         S=S, white_bkgd=white_bkgd, compute_dtype=compute_dtype,
+        interleave=interleave,
     )
 
 
@@ -145,7 +211,7 @@ def _train_pe_kernel(
     e2_ref, c_ref,
     w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
     loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
-    *, S, white_bkgd, compute_dtype, use_feats, x_pad,
+    *, S, white_bkgd, compute_dtype, use_feats, x_pad, interleave=1,
 ):
     """Inline-PE variant: raw per-point inputs (pts[, dirs]) arrive as a thin
     (N, n_raw) block and the positional encoding is built in VMEM — the
@@ -170,12 +236,14 @@ def _train_pe_kernel(
         w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
         loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
         S=S, white_bkgd=white_bkgd, compute_dtype=compute_dtype,
+        interleave=interleave,
     )
 
 
 
 def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
-                   packed, white_bkgd, interpret, compute_dtype, use_feats):
+                   packed, white_bkgd, interpret, compute_dtype, use_feats,
+                   interleave=1):
     w0, b0, wh, bh, wout, bout = packed
     R, S = z.shape
     N, n_raw = raw.shape
@@ -183,8 +251,15 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
     H = w0.shape[1]
     D = w0.shape[0]  # padded x width
     L1 = wh.shape[0]
-    max_pts = max(BWD_STASH_BUDGET // ((L1 + 2) * H * 4), S)
+    # Per-CHAIN stash budget: an interleaved tile holds K chains' activations
+    # so the tile grows K× while each dependent-matmul chain keeps the
+    # latency-optimal per-chain size.
+    max_pts = max(
+        interleave * BWD_STASH_BUDGET // ((L1 + 2) * H * 4), S
+    )
     R_T = _pick_tile_rays(R, max_pts // S)
+    if R_T % interleave != 0:
+        interleave = 1
     n_tiles = R // R_T
     n_phase = e2.shape[1]
     Fd = feats.shape[1]
@@ -192,6 +267,7 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
     kernel = functools.partial(
         _train_pe_kernel, S=S, white_bkgd=white_bkgd,
         compute_dtype=compute_dtype, use_feats=use_feats, x_pad=D,
+        interleave=interleave,
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -248,18 +324,21 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
 
 
 def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
-                interpret, compute_dtype):
+                interpret, compute_dtype, interleave=1):
     w0, b0, wh, bh, wout, bout = packed
     R, S, H = _check_shapes(x, z, dnorm, w0, wh, wout)
     D = x.shape[1]
     L1 = wh.shape[0]
     L_total = L1 + 2
-    max_pts = max(BWD_STASH_BUDGET // (L_total * H * 4), S)
+    max_pts = max(interleave * BWD_STASH_BUDGET // (L_total * H * 4), S)
     R_T = _pick_tile_rays(R, max_pts // S)
+    if R_T % interleave != 0:
+        interleave = 1
     n_tiles = R // R_T
 
     kernel = functools.partial(
-        _train_kernel, S=S, white_bkgd=white_bkgd, compute_dtype=compute_dtype
+        _train_kernel, S=S, white_bkgd=white_bkgd,
+        compute_dtype=compute_dtype, interleave=interleave,
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -328,6 +407,7 @@ def fused_train_loss_grad(
     compute_dtype: str = "float32",
     denom_rays: Optional[jnp.ndarray] = None,
     inline_pe: bool = True,
+    interleave: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """(masked-MSE loss, param-gradient tree) in one fused kernel pass.
 
@@ -347,6 +427,8 @@ def fused_train_loss_grad(
     renderer this saves the standalone fine forward entirely.
     """
     assert settings.noise_std == 0.0
+    if interleave is None:
+        interleave = TRAIN_INTERLEAVE
     k_strat = k_imp = None
     if key is not None and settings.perturb:
         k_strat, k_imp = jax.random.split(key)
@@ -423,6 +505,7 @@ def fused_train_loss_grad(
             raw, feats, z, dnorm, target, mask[:, None], inv_denom,
             jnp.asarray(e2), jnp.asarray(c), packed, settings.white_bkgd,
             interpret, compute_dtype, use_feats=dino is not None,
+            interleave=interleave,
         )
         grads = pack_vjp(dpacked)[0]
         return loss, grads
@@ -436,7 +519,7 @@ def fused_train_loss_grad(
     )
     loss, dpacked = _train_call(
         x, z, dnorm, target, mask[:, None], inv_denom, packed,
-        settings.white_bkgd, interpret, compute_dtype,
+        settings.white_bkgd, interpret, compute_dtype, interleave=interleave,
     )
     grads = pack_vjp(dpacked)[0]
     return loss, grads

@@ -247,3 +247,70 @@ def test_train_kernel_features_without_viewdirs():
                     jax.tree_util.tree_leaves(got_grads)):
         na, nb = np.linalg.norm(np.asarray(a)), np.linalg.norm(np.asarray(b))
         np.testing.assert_allclose(nb, na, rtol=2e-3, atol=1e-6)
+
+@pytest.mark.parametrize("interleave", [2, 4])
+def test_train_kernel_interleave_matches_autodiff(interleave):
+    """Sub-chain interleaving (K independent ray groups walked
+    layer-by-layer inside one grid step — the MXU latency-overlap lever)
+    must be numerically equivalent to the single-chain kernel/autodiff."""
+    model = NeRFMLP(pos_freq=POS_FREQ, dir_freq=DIR_FREQ, use_viewdirs=True,
+                    hidden_dim=HIDDEN, num_layers=NL)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )["params"]
+    ro = jnp.asarray(RNG.standard_normal((R, 3)).astype(np.float32))
+    rd = jnp.asarray(RNG.standard_normal((R, 3)).astype(np.float32))
+    tgt = jnp.asarray(RNG.uniform(0, 1, (R, 3)).astype(np.float32))
+    mask = jnp.asarray((RNG.uniform(0, 1, (R,)) > 0.3).astype(np.float32))
+    settings = RenderSettings(near=2.0, far=6.0, n_samples=S,
+                              white_bkgd=True, perturb=False)
+
+    want_loss, want_grads = fused_train_loss_grad(
+        params, ro, rd, tgt, mask, settings, POS_FREQ, DIR_FREQ, NL, HIDDEN,
+        interpret=True, interleave=1,
+    )
+    got_loss, got_grads = fused_train_loss_grad(
+        params, ro, rd, tgt, mask, settings, POS_FREQ, DIR_FREQ, NL, HIDDEN,
+        interpret=True, interleave=interleave,
+    )
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(want_grads),
+                    jax.tree_util.tree_leaves(got_grads)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_train_kernel_interleave_hierarchical_and_features():
+    """Interleave composes with the hierarchical fine pass and per-point
+    features."""
+    dino_dim = 64
+    model = NeRFMLP(pos_freq=POS_FREQ, dir_freq=DIR_FREQ, use_viewdirs=True,
+                    hidden_dim=HIDDEN, num_layers=NL, dino_dim=dino_dim,
+                    sigma_bias_init=0.3)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 3)), jnp.zeros((1, 3)),
+        jnp.zeros((1, dino_dim)),
+    )["params"]
+    ro = jnp.asarray(RNG.standard_normal((R, 3)).astype(np.float32))
+    rd = jnp.asarray(RNG.standard_normal((R, 3)).astype(np.float32))
+    tgt = jnp.asarray(RNG.uniform(0, 1, (R, 3)).astype(np.float32))
+    W = jnp.asarray(RNG.standard_normal((3, dino_dim)).astype(np.float32))
+
+    def pf(pts):
+        return jnp.tanh(pts @ W)
+
+    settings = RenderSettings(near=2.0, far=6.0, n_samples=S,
+                              n_importance=S, perturb=False)
+    want = fused_train_loss_grad(
+        params, ro, rd, tgt, jnp.ones((R,)), settings, POS_FREQ, DIR_FREQ,
+        NL, HIDDEN, point_features_fn=pf, interpret=True, interleave=1,
+    )
+    got = fused_train_loss_grad(
+        params, ro, rd, tgt, jnp.ones((R,)), settings, POS_FREQ, DIR_FREQ,
+        NL, HIDDEN, point_features_fn=pf, interpret=True, interleave=2,
+    )
+    np.testing.assert_allclose(float(got[0]), float(want[0]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(want[1]),
+                    jax.tree_util.tree_leaves(got[1])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
