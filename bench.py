@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_RAYS = 2048
 N_SAMPLES = 64
+N_IMPORTANCE = 128  # hierarchical config: 64 coarse + 128 importance
 HIDDEN = 256
 N_LAYERS = 8
 POS_FREQ, DIR_FREQ = 10, 4
@@ -46,7 +47,7 @@ def _enable_compile_cache():
         pass  # cache is an optimization only
 
 
-def bench_jax() -> float:
+def bench_jax(hierarchical: bool = False, interleave=None) -> float:
     import jax
 
     _enable_compile_cache()
@@ -67,7 +68,10 @@ def bench_jax() -> float:
     )["params"]
     tx = optax.adam(5e-4)
     opt_state = tx.init(params)
-    settings = RenderSettings(near=2.0, far=6.0, n_samples=N_SAMPLES, perturb=True)
+    settings = RenderSettings(
+        near=2.0, far=6.0, n_samples=N_SAMPLES, perturb=True,
+        n_importance=N_IMPORTANCE if hierarchical else 0,
+    )
     use_fused = jax.default_backend() in ("tpu", "axon")
     mask = jnp.ones((N_RAYS,))
 
@@ -78,6 +82,7 @@ def bench_jax() -> float:
             loss, grads = fused_train_loss_grad(
                 params, rays_o, rays_d, target, mask, settings,
                 POS_FREQ, DIR_FREQ, N_LAYERS, HIDDEN, key=key,
+                interleave=interleave,
             )
         else:
             def loss_fn(p):
@@ -111,9 +116,14 @@ def bench_jax() -> float:
     return N_RAYS * ITERS / dt
 
 
-def bench_torch_reference() -> float:
+def bench_torch_reference(hierarchical: bool = False) -> float:
     """Eager PyTorch CPU implementation of the same train step (the
-    reference's compute style: stock torch ops, per-op dispatch)."""
+    reference's compute style: stock torch ops, per-op dispatch).
+
+    ``hierarchical``: coarse pass under no_grad → inverse-CDF importance
+    resampling → fine pass over the merged sample set (the standard NeRF
+    hierarchical recipe; second baseline config so the headline speedup is
+    not a single-config cherry-pick)."""
     import torch
 
     torch.manual_seed(0)
@@ -148,21 +158,13 @@ def bench_torch_reference() -> float:
     rays_d = torch.randn(N_RAYS, 3)
     target = torch.rand(N_RAYS, 3)
 
-    def step():
-        t = torch.linspace(0.0, 1.0, N_SAMPLES)
-        z = 2.0 * (1 - t) + 6.0 * t
-        z = z.expand(N_RAYS, N_SAMPLES)
-        mids = 0.5 * (z[..., 1:] + z[..., :-1])
-        upper = torch.cat([mids, z[..., -1:]], -1)
-        lower = torch.cat([z[..., :1], mids], -1)
-        z = lower + (upper - lower) * torch.rand_like(z)
+    def forward(z, n_s):
         pts = rays_o[:, None] + rays_d[:, None] * z[..., None]
-
         h = torch.cat(
             [
                 posenc(pts.reshape(-1, 3), freqs_p),
                 posenc(
-                    rays_d[:, None].expand(-1, N_SAMPLES, -1).reshape(-1, 3),
+                    rays_d[:, None].expand(-1, n_s, -1).reshape(-1, 3),
                     freqs_d,
                 ),
             ],
@@ -170,8 +172,8 @@ def bench_torch_reference() -> float:
         )
         for layer in trunk:
             h = torch.relu(layer(h))
-        sigma = sigma_head(h).reshape(N_RAYS, N_SAMPLES)
-        rgb = torch.sigmoid(rgb_head(h)).reshape(N_RAYS, N_SAMPLES, 3)
+        sigma = sigma_head(h).reshape(N_RAYS, n_s)
+        rgb = torch.sigmoid(rgb_head(h)).reshape(N_RAYS, n_s, 3)
 
         dists = z[..., 1:] - z[..., :-1]
         dists = torch.cat([dists, torch.full_like(dists[..., :1], 1e10)], -1)
@@ -183,6 +185,44 @@ def bench_torch_reference() -> float:
         )[..., :-1]
         w = alpha * trans
         pred = (w[..., None] * rgb).sum(-2)
+        return pred, w
+
+    def sample_pdf(z, weights, n_imp):
+        # standard NeRF inverse-CDF importance sampling (torch eager)
+        mids = 0.5 * (z[..., 1:] + z[..., :-1])
+        w = weights[..., 1:-1] + 1e-5
+        pdf = w / w.sum(-1, keepdim=True)
+        cdf = torch.cumsum(pdf, -1)
+        cdf = torch.cat([torch.zeros_like(cdf[..., :1]), cdf], -1)
+        u = torch.rand(N_RAYS, n_imp)
+        idx = torch.searchsorted(cdf, u, right=True)
+        below = (idx - 1).clamp(min=0)
+        above = idx.clamp(max=cdf.shape[-1] - 1)
+        cdf_b = torch.gather(cdf, -1, below)
+        cdf_a = torch.gather(cdf, -1, above)
+        bins_b = torch.gather(mids, -1, below.clamp(max=mids.shape[-1] - 1))
+        bins_a = torch.gather(mids, -1, above.clamp(max=mids.shape[-1] - 1))
+        denom = (cdf_a - cdf_b).clamp(min=1e-5)
+        t = (u - cdf_b) / denom
+        return bins_b + t * (bins_a - bins_b)
+
+    def step():
+        t = torch.linspace(0.0, 1.0, N_SAMPLES)
+        z = 2.0 * (1 - t) + 6.0 * t
+        z = z.expand(N_RAYS, N_SAMPLES)
+        mids = 0.5 * (z[..., 1:] + z[..., :-1])
+        upper = torch.cat([mids, z[..., -1:]], -1)
+        lower = torch.cat([z[..., :1], mids], -1)
+        z = lower + (upper - lower) * torch.rand_like(z)
+
+        if hierarchical:
+            with torch.no_grad():
+                _, w_c = forward(z, N_SAMPLES)
+                z_fine = sample_pdf(z, w_c, N_IMPORTANCE)
+                z, _ = torch.sort(torch.cat([z, z_fine], -1), -1)
+            pred, _ = forward(z, N_SAMPLES + N_IMPORTANCE)
+        else:
+            pred, _ = forward(z, N_SAMPLES)
 
         loss = torch.mean((pred - target) ** 2)
         opt.zero_grad()
@@ -197,10 +237,24 @@ def bench_torch_reference() -> float:
     return N_RAYS * TORCH_ITERS / dt
 
 
-def main():
-    jax_rate = bench_jax()
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", choices=["flagship", "hierarchical"],
+                   default="flagship",
+                   help="flagship = 2048×64 single pass (the headline); "
+                        "hierarchical = coarse 64 + importance 128 (second "
+                        "baseline point so the speedup isn't single-config)")
+    p.add_argument("--interleave", type=int, default=None,
+                   help="train-kernel sub-chain interleave override (sweep)")
+    args = p.parse_args(argv)
+    hier = args.config == "hierarchical"
+
+    jax_rate = bench_jax(hierarchical=hier, interleave=args.interleave)
     baseline_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".bench_torch_baseline.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        f".bench_torch_baseline_{args.config}.json",
     )
     torch_rate = None
     if os.path.exists(baseline_path):
@@ -210,17 +264,20 @@ def main():
         except Exception:
             torch_rate = None
     if torch_rate is None:
-        torch_rate = bench_torch_reference()
+        torch_rate = bench_torch_reference(hierarchical=hier)
         try:
             with open(baseline_path, "w") as f:
                 json.dump({"rays_per_sec": torch_rate}, f)
         except OSError:
             pass
 
+    metric = "train_rays_per_sec_per_chip_fwd_bwd"
+    if hier:
+        metric += "_hierarchical"
     print(
         json.dumps(
             {
-                "metric": "train_rays_per_sec_per_chip_fwd_bwd",
+                "metric": metric,
                 "value": round(jax_rate, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(jax_rate / torch_rate, 2),

@@ -83,8 +83,10 @@ def _objective_body(
     K = interleave if R % interleave == 0 else 1
     Rc, Nc = R // K, N // K
 
-    # ---- forward: layer-interleaved across the K independent sub-chains
-    xs = [x[k * Nc:(k + 1) * Nc] for k in range(K)]
+    # ---- forward: layer-interleaved across the K independent sub-chains.
+    # K=1 must avoid every slice op (x[0:N] etc. can lower to layout
+    # copies in Mosaic — a measured ~13% regression on v5e).
+    xs = [x] if K == 1 else [x[k * Nc:(k + 1) * Nc] for k in range(K)]
     acts = [[xc] for xc in xs]
     hs = [
         jnp.maximum(_dot(xc, w0_ref[:], compute_dtype) + b0_ref[:], 0.0)
@@ -115,9 +117,9 @@ def _objective_body(
         out = outs[k]
         rgb_s = jax.nn.sigmoid(out[:, 0:3]).reshape(Rc, S, 3)
         sigma = out[:, 3].reshape(Rc, S)
-        zk = z[rows]
+        zk = z if K == 1 else z[rows]
         alpha, om, dists, trans, weights = _composite(
-            sigma, zk, dnorm[rows], white_bkgd
+            sigma, zk, dnorm if K == 1 else dnorm[rows], white_bkgd
         )
         rgb_map = jnp.sum(weights[..., None] * rgb_s, axis=1)  # (Rc, 3)
         if white_bkgd:
@@ -125,8 +127,8 @@ def _objective_body(
             rgb_map = rgb_map + (1.0 - acc)
 
         # Masked-MSE loss partial and its rgb cotangent.
-        mask = mask_all[rows]
-        err = (rgb_map - tgt[rows]) * mask
+        mask = mask_all if K == 1 else mask_all[rows]
+        err = (rgb_map - (tgt if K == 1 else tgt[rows])) * mask
         loss_acc += (jnp.sum(err * err) * inv_denom).reshape(1, 1)
         g_rgb = 2.0 * err * inv_denom  # (Rc, 3)
 
@@ -258,8 +260,12 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
         interleave * BWD_STASH_BUDGET // ((L1 + 2) * H * 4), S
     )
     R_T = _pick_tile_rays(R, max_pts // S)
-    if R_T % interleave != 0:
-        interleave = 1
+    # Each sub-chain must keep ≥8 rays (Mosaic's sublane minimum for the
+    # (Rc, S) compositing ops) and divide the tile evenly.
+    while interleave > 1 and (
+        R_T % interleave != 0 or R_T // interleave < 8
+    ):
+        interleave //= 2
     n_tiles = R // R_T
     n_phase = e2.shape[1]
     Fd = feats.shape[1]
@@ -332,8 +338,10 @@ def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
     L_total = L1 + 2
     max_pts = max(interleave * BWD_STASH_BUDGET // (L_total * H * 4), S)
     R_T = _pick_tile_rays(R, max_pts // S)
-    if R_T % interleave != 0:
-        interleave = 1
+    while interleave > 1 and (
+        R_T % interleave != 0 or R_T // interleave < 8
+    ):
+        interleave //= 2
     n_tiles = R // R_T
 
     kernel = functools.partial(
