@@ -334,3 +334,52 @@ def test_focal_scaling_defaults():
                  "script_dino_lora_pose"):
         assert load_config(f"experiments/{name}.yaml").focal_scaling is \
             False, name
+
+
+def test_trainer_focal_scaling_changes_phase_rays():
+    """focal_scaling=False (the scripts/multiscale surface) must generate
+    low-res phase rays with the FULL-resolution focal — a narrow-FOV center
+    crop — while True scales focal with the phase (train.py:267)."""
+    from nerf_fewshot_tpu.data import lego_like_scene, make_scene_dataset
+    from nerf_fewshot_tpu.training.trainer import Trainer
+
+    res = 32
+    base = {
+        "experiment": {"name": "focal"},
+        "data": {"resolution": res, "num_views": 1},
+        "nerf_model": {"hidden_dim": 32, "num_layers": 2},
+        "training": {"epochs": 1, "batch_size": 64,
+                     "progressive_schedule": {
+                         "epochs_0_50": [16, 16, 8],
+                         "epochs_50_100": [16, 16, 8],
+                         "epochs_100_plus": [16, 16, 8]}},
+        "rendering": {"chunk_size": 64},
+        "output": {"save_dir": "/tmp/focal_test"},
+    }
+    scene = lego_like_scene()
+    data = make_scene_dataset(scene, n_views=1, img_size=res, gt_samples=16)
+
+    tr_scaled = Trainer(config_from_dict(base), data)
+    pd_scaled = tr_scaled.phase_data(0)
+
+    unscaled = dict(base)
+    unscaled["focal_scaling"] = False
+    cfg_u = config_from_dict(unscaled)
+    assert cfg_u.focal_scaling is False
+    tr_unscaled = Trainer(cfg_u, data)
+    pd_u = tr_unscaled.phase_data(0)
+
+    rd_s = np.asarray(pd_scaled.rays_d)
+    rd_u = np.asarray(pd_u.rays_d)
+    assert rd_s.shape == rd_u.shape
+    # full-res focal at 16x16 → rays span a narrower angular cone
+    assert np.abs(rd_s - rd_u).max() > 1e-3
+
+    def cone_halfwidth(rd):
+        # rays are (V, HW, 3); measure max angular deviation from center ray
+        v = rd.reshape(-1, 3)
+        v = v / np.linalg.norm(v, axis=-1, keepdims=True)
+        center = v[v.shape[0] // 2]
+        return np.arccos(np.clip(v @ center, -1, 1)).max()
+
+    assert cone_halfwidth(rd_u) < cone_halfwidth(rd_s)
