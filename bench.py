@@ -34,17 +34,64 @@ def _enable_compile_cache():
     """Persistent compilation cache: the remote TPU compile service can be
     slow/queued; caching the serialized executable keeps repeat bench runs
     (e.g. the driver's end-of-round run) off the compiler entirely."""
+    from nerf_fewshot_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    )
+
+
+def bench_jax_inference(n_rays: int = 2048) -> float:
+    """Forward-only eval/serving render (the trainer's evaluate path): the
+    no-VJP inline-PE fused kernel, deterministic sampling, no optimizer."""
     import jax
 
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    _enable_compile_cache()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_fewshot_tpu.models import NeRFMLP
+    from nerf_fewshot_tpu.render import RenderSettings, render_rays
+    from nerf_fewshot_tpu.render.fused import fused_render_rays
+
+    model = NeRFMLP(
+        pos_freq=POS_FREQ, dir_freq=DIR_FREQ, use_viewdirs=True,
+        hidden_dim=HIDDEN, num_layers=N_LAYERS,
     )
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # cache is an optimization only
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )["params"]
+    settings = RenderSettings(near=2.0, far=6.0, n_samples=N_SAMPLES)
+    use_fused = jax.default_backend() in ("tpu", "axon")
+
+    @jax.jit
+    def render(params, rays_o, rays_d):
+        if use_fused:
+            out = fused_render_rays(
+                params, rays_o, rays_d, settings,
+                POS_FREQ, DIR_FREQ, N_LAYERS, HIDDEN,
+                forward_only=True, tile_rays=16,
+            )
+        else:
+            def model_fn(pts, dirs, dino):
+                return model.apply({"params": params}, pts, dirs)
+
+            out = render_rays(model_fn, rays_o, rays_d, settings)
+        return out.rgb
+
+    rng = np.random.default_rng(0)
+    rays_o = jnp.asarray(rng.standard_normal((n_rays, 3)).astype(np.float32))
+    rays_d = jnp.asarray(rng.standard_normal((n_rays, 3)).astype(np.float32))
+
+    for _ in range(WARMUP):
+        rgb = render(params, rays_o, rays_d)
+    float(rgb.sum())  # full sync
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        rgb = render(params, rays_o, rays_d)
+    float(rgb.sum())
+    dt = time.perf_counter() - t0
+    return n_rays * ITERS / dt
 
 
 def bench_jax(hierarchical: bool = False, interleave=None) -> float:
@@ -116,7 +163,8 @@ def bench_jax(hierarchical: bool = False, interleave=None) -> float:
     return N_RAYS * ITERS / dt
 
 
-def bench_torch_reference(hierarchical: bool = False) -> float:
+def bench_torch_reference(hierarchical: bool = False,
+                          inference: bool = False) -> float:
     """Eager PyTorch CPU implementation of the same train step (the
     reference's compute style: stock torch ops, per-op dispatch).
 
@@ -210,6 +258,11 @@ def bench_torch_reference(hierarchical: bool = False) -> float:
         t = torch.linspace(0.0, 1.0, N_SAMPLES)
         z = 2.0 * (1 - t) + 6.0 * t
         z = z.expand(N_RAYS, N_SAMPLES)
+        if inference:
+            # eval render: deterministic z, forward only, no autograd tape
+            with torch.no_grad():
+                forward(z, N_SAMPLES)
+            return
         mids = 0.5 * (z[..., 1:] + z[..., :-1])
         upper = torch.cat([mids, z[..., -1:]], -1)
         lower = torch.cat([z[..., :1], mids], -1)
@@ -241,17 +294,23 @@ def main(argv=None):
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--config", choices=["flagship", "hierarchical"],
+    p.add_argument("--config",
+                   choices=["flagship", "hierarchical", "inference"],
                    default="flagship",
                    help="flagship = 2048×64 single pass (the headline); "
                         "hierarchical = coarse 64 + importance 128 (second "
-                        "baseline point so the speedup isn't single-config)")
+                        "baseline point so the speedup isn't single-config); "
+                        "inference = forward-only eval/serving render")
     p.add_argument("--interleave", type=int, default=None,
                    help="train-kernel sub-chain interleave override (sweep)")
     args = p.parse_args(argv)
     hier = args.config == "hierarchical"
+    inference = args.config == "inference"
 
-    jax_rate = bench_jax(hierarchical=hier, interleave=args.interleave)
+    if inference:
+        jax_rate = bench_jax_inference()
+    else:
+        jax_rate = bench_jax(hierarchical=hier, interleave=args.interleave)
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         f".bench_torch_baseline_{args.config}.json",
@@ -264,16 +323,20 @@ def main(argv=None):
         except Exception:
             torch_rate = None
     if torch_rate is None:
-        torch_rate = bench_torch_reference(hierarchical=hier)
+        torch_rate = bench_torch_reference(hierarchical=hier,
+                                           inference=inference)
         try:
             with open(baseline_path, "w") as f:
                 json.dump({"rays_per_sec": torch_rate}, f)
         except OSError:
             pass
 
-    metric = "train_rays_per_sec_per_chip_fwd_bwd"
-    if hier:
-        metric += "_hierarchical"
+    if inference:
+        metric = "render_rays_per_sec_per_chip_fwd"
+    else:
+        metric = "train_rays_per_sec_per_chip_fwd_bwd"
+        if hier:
+            metric += "_hierarchical"
     print(
         json.dumps(
             {

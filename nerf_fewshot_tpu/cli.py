@@ -245,6 +245,13 @@ def main(argv=None) -> None:
     p_scale.set_defaults(fn=cmd_bench_scaling)
 
     args = parser.parse_args(argv)
+    # Persistent XLA compile cache for every subcommand: the remote TPU
+    # compile service is slow (minutes/executable); repeat runs of the same
+    # config shapes should never touch it. NERF_TPU_JAX_CACHE overrides the
+    # location; failure to set up the cache is silently non-fatal.
+    from nerf_fewshot_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     args.fn(args)
 
 

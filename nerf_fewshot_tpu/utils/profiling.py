@@ -57,3 +57,30 @@ def enable_nan_guard(enable: bool = True) -> None:
     """Globally re-run jitted computations de-optimized when a NaN appears
     and raise with the offending primitive (jax debug_nans)."""
     jax.config.update("jax_debug_nans", enable)
+
+
+def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
+    """Point JAX at a persistent compilation cache.
+
+    The remote TPU compile service in this environment can be slow/queued
+    (minutes per executable); caching serialized executables keeps repeat
+    runs — the bench driver, re-trained configs, CI — off the compiler
+    entirely. Defaults to `.jax_cache/` next to the repo root (same
+    location bench.py seeds). Returns the directory used, or None if the
+    cache could not be enabled (it is an optimization only, never fatal).
+    """
+    import os
+
+    if cache_dir is None:
+        cache_dir = os.environ.get("NERF_TPU_JAX_CACHE") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            ".jax_cache",
+        )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return cache_dir
+    except Exception:
+        return None

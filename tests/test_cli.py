@@ -101,3 +101,26 @@ def test_evaluate_metrics_carry_lpips_provenance(tmp_path):
     assert "lpips" in m
     assert m["lpips_pretrained"] is False  # no weight cache in this env
     assert m["lpips_backend"] == "jax"
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    """enable_compile_cache points JAX's persistent compilation cache at the
+    requested directory (CLI main enables it for every subcommand so repeat
+    runs skip the slow remote TPU compile service)."""
+    import jax
+
+    from nerf_fewshot_tpu.utils.profiling import enable_compile_cache
+
+    target = str(tmp_path / "cache")
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        used = enable_compile_cache(target)
+        assert used == target
+        assert os.path.isdir(target)
+        assert jax.config.jax_compilation_cache_dir == target
+        # env-var override wins when no explicit dir is passed
+        override = str(tmp_path / "cache2")
+        monkeypatch.setenv("NERF_TPU_JAX_CACHE", override)
+        assert enable_compile_cache() == override
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
