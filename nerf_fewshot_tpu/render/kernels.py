@@ -103,9 +103,16 @@ def _composite(sigma, z, dnorm, white_bkgd):
     # float reassociation can cancel the epsilon (log(om) must stay finite).
     om = ealpha + 1e-10
     logs = jnp.log(om)
-    # exclusive cumsum: inclusive (tri) minus self
+    # exclusive cumsum: inclusive (tri) minus self. HIGHEST precision: Mosaic
+    # dots truncate f32 inputs to ONE bf16 pass by default (measured: max rel
+    # err == bf16 rounding), and log-space transmittances amplify that to ~1%
+    # errors in trans — and catastrophic cancellation in the backward's
+    # suffix sums (sigma-head grads measured 155× off truth on-chip). The
+    # (N, S)×(S, S) contraction is noise next to the MLP matmuls, so exact
+    # f32 costs nothing measurable.
     incl = jnp.dot(logs, _tri_incl(S, logs.dtype).T,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     trans = jnp.exp(incl - logs)
     weights = alpha * trans
     return alpha, om, dists, trans, weights
@@ -215,6 +222,12 @@ def _fwd_pe_kernel(
     pre-permuted with pack_params(row_perm=...)."""
     raw = raw_ref[:]
     phases = (
+        # DEFAULT (one bf16 pass) is deliberate here: truncating raw is
+        # equivalent to a ≤0.4% jitter of the sample POSITION seen by the
+        # high-frequency sin/cos features — positions carry no gradient, the
+        # loss is insensitive to it (measured ~1e-4), and HIGHEST on this dot
+        # costs real step time. Contrast the compositing dots below, where
+        # bf16 inputs corrupt gradients catastrophically.
         jnp.dot(raw, e2_ref[:], preferred_element_type=jnp.float32) + c_ref[:]
     )
     blocks = [raw, jnp.sin(phases)]
@@ -290,9 +303,13 @@ def _bwd_kernel(
         + g_weights_ref[:]
     )  # (R, S)
     # dL/dalpha_k = dLdw_k·T_k − (Σ_{i>k} dLdw_i·w_i) / (1 − alpha_k + eps)
+    # HIGHEST: the true suffix sum is a small difference of large signed
+    # terms; a single-pass bf16 dot (the Mosaic default) destroys it — see
+    # _composite's note.
     s_after = jnp.dot(
         dLdw * weights, _tri_after(S, z.dtype).T,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     d_alpha = dLdw * trans - s_after / om
     # alpha = 1 − exp(−relu(σ)·dist) → dσ = d_alpha·exp(...)·dist·[σ>0]

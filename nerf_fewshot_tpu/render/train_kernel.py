@@ -138,9 +138,13 @@ def _objective_body(
 
         d_rgb_s = weights[..., None] * g_rgb[:, None, :]
         dLdw = jnp.sum(rgb_s * g_rgb[:, None, :], axis=2) + g_acc_scalar
+        # HIGHEST: suffix sums of signed, cancelling terms — a single-pass
+        # bf16 dot (the Mosaic default) corrupts small true gradients (see
+        # kernels._composite's note; sigma-head grads measured 155× off).
         s_after = jnp.dot(
             dLdw * weights, _tri_after(S, z.dtype).T,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         d_alpha = dLdw * trans - s_after / om
         d_sigma = (
@@ -223,6 +227,9 @@ def _train_pe_kernel(
     row_perm)."""
     raw = raw_ref[:]  # (N, n_raw): [pts | dirs?]
     phases = (
+        # DEFAULT is deliberate: bf16-truncating raw == ≤0.4% positional
+        # jitter on the high-freq PE features (no gradient flows through
+        # positions); see kernels._fwd_pe_kernel's note.
         jnp.dot(raw, e2_ref[:], preferred_element_type=jnp.float32) + c_ref[:]
     )
     blocks = [raw, jnp.sin(phases)]

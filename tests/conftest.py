@@ -21,5 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402  (already imported by sitecustomize; config still mutable)
 
-jax.config.update("jax_platforms", "cpu")
+# NERF_TPU_TESTS=1 keeps the default (TPU) backend so the on-chip numerics
+# pins in test_tpu_numerics.py actually run: e.g.
+#   NERF_TPU_TESTS=1 python -m pytest tests/test_tpu_numerics.py -q
+if not os.environ.get("NERF_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
