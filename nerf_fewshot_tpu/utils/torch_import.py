@@ -24,6 +24,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _detached_numpy(state_dict: Dict) -> Dict:
+    """Copy a torch state_dict to owned numpy arrays.
+
+    The copy matters: ``np.asarray(tensor)`` shares storage with the live
+    torch parameter, and ``jnp.asarray`` of a contiguous f32 numpy array can
+    zero-copy alias it on the CPU backend — so a later torch
+    ``optimizer.step()`` would silently mutate the "imported" JAX params
+    (observed as a 3e-4 loss drift in the trajectory-parity test before
+    this copy existed).
+    """
+    return {k: np.array(v, copy=True) for k, v in state_dict.items()}
+
+
 def _put_linear(tree: Dict, sd: Dict, torch_prefix: str) -> None:
     w = sd.get(f"{torch_prefix}.weight")
     b = sd.get(f"{torch_prefix}.bias")
@@ -45,7 +58,7 @@ def import_nerf_mlp_state_dict(params: Dict, state_dict: Dict) -> Dict:
     import copy
 
     params = copy.deepcopy(jax_tree_to_mutable(params))
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    sd = _detached_numpy(state_dict)
 
     i = 0
     while True:
@@ -85,7 +98,7 @@ def import_nerf_with_dino_state_dict(params: Dict, state_dict: Dict) -> Dict:
     import copy
 
     params = copy.deepcopy(jax_tree_to_mutable(params))
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    sd = _detached_numpy(state_dict)
 
     fz = params["dino_fusion"]
     _put_linear(fz["fusion_0"], sd, "dino_fusion.fusion.0")

@@ -24,6 +24,27 @@ import jax  # noqa: E402  (already imported by sitecustomize; config still mutab
 # NERF_TPU_TESTS=1 keeps the default (TPU) backend so the on-chip numerics
 # pins in test_tpu_numerics.py actually run: e.g.
 #   NERF_TPU_TESTS=1 python -m pytest tests/test_tpu_numerics.py -q
-if not os.environ.get("NERF_TPU_TESTS"):
+_TPU_MODE = bool(os.environ.get("NERF_TPU_TESTS"))
+if not _TPU_MODE:
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Only the on-chip numerics modules are valid under NERF_TPU_TESTS: the rest
+# of the suite assumes the 8-virtual-device CPU platform (sharding tests) and
+# would otherwise be routed through the slow, occasionally-wedged remote TPU
+# tunnel. Skip them rather than letting them fail confusingly.
+_TPU_ONLY_MODULES = {"test_tpu_numerics.py"}
+
+
+def pytest_collection_modifyitems(config, items):
+    if not _TPU_MODE:
+        return
+    import pytest
+
+    skip = pytest.mark.skip(
+        reason="NERF_TPU_TESTS=1 runs only the on-chip numerics pins; "
+        "this module requires the 8-virtual-device CPU platform"
+    )
+    for item in items:
+        if os.path.basename(str(item.fspath)) not in _TPU_ONLY_MODULES:
+            item.add_marker(skip)

@@ -113,6 +113,7 @@ def test_enable_compile_cache(tmp_path, monkeypatch):
 
     target = str(tmp_path / "cache")
     prev = jax.config.jax_compilation_cache_dir
+    prev_min_secs = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
         used = enable_compile_cache(target)
         assert used == target
@@ -124,3 +125,6 @@ def test_enable_compile_cache(tmp_path, monkeypatch):
         assert enable_compile_cache() == override
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", prev_min_secs
+        )

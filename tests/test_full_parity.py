@@ -139,3 +139,134 @@ def test_image_and_pixel_gradients_allclose():
         np.asarray(grads["rgb_head"]["kernel"]),
         tm.rgb_out.weight.grad.numpy().T, rtol=2e-3, atol=1e-7,
     )
+
+
+def test_multi_step_training_trajectory_allclose():
+    """Run N full Adam steps of the COMPLETE pipeline (injected z_vals → PE →
+    MLP → composite → MSE → Adam → repeat) on both sides from transplanted
+    init, and assert the loss trajectory and final parameters stay allclose.
+
+    This composes the op-level oracles + single-step parity above into a
+    *training loop* gate: the reference's published numbers are the product
+    of exactly this loop (/root/reference/src/training/train.py:244-292 —
+    per-batch render_rays → NeRFLoss → Adam.step). It is the strongest proxy
+    for the PSNR-14.71 parity gate available in this environment (no real
+    lego data / pretrained weights; BASELINE.md). Torch RNG cannot be
+    matched from JAX, so per-step stratified z_vals and per-step ray batches
+    are pre-generated with numpy and injected identically on both sides; the
+    optimizer under test is the product path (training/optim.make_optimizer,
+    torch-Adam semantics incl. pre-moment L2 decay) vs torch.optim.Adam.
+
+    Both sides run in float64: Adam's ĝ/√v̂ normalization amplifies f32
+    gradient rounding into O(lr) update differences wherever a gradient is
+    near zero (measured: 8e-4 final-param drift at f32 — pure float noise,
+    not semantics), while in f64 identical *semantics* must agree to ~1e-9.
+    The f32 compute path itself is pinned by the single-step test above and
+    the kernel parity suite; this test pins the loop's MATH.
+    """
+    import optax
+
+    from nerf_fewshot_tpu.training.config import OptimizerConfig
+    from nerf_fewshot_tpu.training.optim import make_optimizer
+
+    N_STEPS = 8
+    LR, WD = 5e-3, 1e-4  # large-ish lr so params actually travel in 8 steps
+
+    # deterministic init: earlier test modules consume torch's global RNG,
+    # and the descent sanity-assert below depends on the starting point
+    torch.manual_seed(3)
+    tm = TorchPipeline().double()
+
+    rng = np.random.default_rng(77)
+    # Fixed ray batch + target (the pixels being fit), fresh stratified
+    # z_vals each step (the per-step perturb jitter) — the shape of the real
+    # training loop, so the loss can genuinely descend across steps.
+    rays_o_f = rng.standard_normal((R, 3))
+    rays_d_f = rng.standard_normal((R, 3))
+    target_f = rng.uniform(0, 1, (R, 3))
+    batches = []
+    for _ in range(N_STEPS):
+        z_vals = np.sort(rng.uniform(2.0, 6.0, (R, S)), -1)
+        batches.append((rays_o_f, rays_d_f, z_vals, target_f))
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        model = NeRFMLP(pos_freq=POS_FREQ, dir_freq=DIR_FREQ,
+                        use_viewdirs=True, hidden_dim=HIDDEN,
+                        num_layers=N_LAYERS)
+        params0 = model.init(
+            jax.random.key(0), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+        )["params"]
+        params = import_nerf_mlp_state_dict(params0, tm.state_dict())
+
+        # ---- torch oracle loop (reference train.py:274-287 semantics)
+        opt = torch.optim.Adam(tm.parameters(), lr=LR, weight_decay=WD)
+        t_losses = []
+        for rays_o, rays_d, z_vals, target in batches:
+            _, t_loss = tm(
+                torch.from_numpy(rays_o), torch.from_numpy(rays_d),
+                torch.from_numpy(z_vals), torch.from_numpy(target),
+            )
+            opt.zero_grad()
+            t_loss.backward()
+            opt.step()
+            t_losses.append(float(t_loss.detach()))
+
+        # ---- jax loop through the product optimizer
+        tx = make_optimizer(
+            OptimizerConfig(lr=LR, weight_decay=WD, kind="adam",
+                            grad_clip=0.0),
+            params,
+        )
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, rays_o, rays_d, z_vals, target):
+            def loss_fn(p):
+                pts = rays_o[:, None] + rays_d[:, None] * z_vals[..., None]
+                dirs = jnp.broadcast_to(rays_d[:, None], (R, S, 3))
+                rgb, sigma = model.apply(
+                    {"params": p}, pts.reshape(-1, 3), dirs.reshape(-1, 3)
+                )
+                out = volume_render(
+                    rgb.reshape(R, S, 3), sigma.reshape(R, S), z_vals, rays_d
+                )
+                return jnp.mean((out.rgb - target) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        j_losses = []
+        for rays_o, rays_d, z_vals, target in batches:
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(rays_o), jnp.asarray(rays_d),
+                jnp.asarray(z_vals), jnp.asarray(target),
+            )
+            j_losses.append(float(loss))
+        params = jax.tree_util.tree_map(np.asarray, params)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    # per-step loss trajectory parity (the pre-fix gradient bug class
+    # produced O(0.5) relative errors — 8 orders beyond these bounds)
+    np.testing.assert_allclose(j_losses, t_losses, rtol=1e-9, atol=1e-12)
+    # the loop must actually be training, not comparing a fixed point
+    assert t_losses[-1] < t_losses[0] * 0.9, "oracle loop did not descend"
+
+    # final-parameter parity after N optimizer steps
+    def check(j_arr, t_tensor, name):
+        np.testing.assert_allclose(
+            np.asarray(j_arr), t_tensor.detach().numpy(),
+            rtol=1e-8, atol=1e-10, err_msg=f"{name} after loop",
+        )
+
+    for i in range(N_LAYERS):
+        check(params[f"trunk_{i}"]["kernel"].T, tm.layers[i].weight,
+              f"trunk_{i} kernel")
+        check(params[f"trunk_{i}"]["bias"], tm.layers[i].bias,
+              f"trunk_{i} bias")
+    for head, t_lin in (("sigma_head", tm.sigma_out),
+                        ("rgb_head", tm.rgb_out)):
+        check(params[head]["kernel"].T, t_lin.weight, f"{head} kernel")
+        check(params[head]["bias"], t_lin.bias, f"{head} bias")

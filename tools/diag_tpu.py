@@ -1,8 +1,17 @@
 """On-chip A/B: fused train kernel vs XLA autodiff on script-projection
 feature-conditioned inputs (the config class that collapses on TPU)."""
+import os
+
+import jax
+
+# Platform switch must happen before any computation/compile-cache setup
+# (sitecustomize pre-imports jax pinned to the remote TPU; jax.config wins
+# only while nothing has executed yet — see CLAUDE.md).
+if os.environ.get('DIAG_CPU'):
+    jax.config.update('jax_platforms', 'cpu')
+
 import dataclasses
 import numpy as np
-import jax
 import jax.flatten_util
 import jax.numpy as jnp
 
@@ -14,9 +23,6 @@ from nerf_fewshot_tpu.render.train_kernel import fused_train_loss_grad
 from nerf_fewshot_tpu.utils.profiling import enable_compile_cache
 
 enable_compile_cache()
-import jax as _j
-if __import__('os').environ.get('DIAG_CPU'):
-    _j.config.update('jax_platforms', 'cpu')
 
 cfg = load_config('experiments/script_baseline.yaml')
 train_data, test_data = _load_datasets(cfg, True)
