@@ -195,6 +195,16 @@ def cmd_bench_scaling(args) -> None:
 
 
 def main(argv=None) -> None:
+    # Platform override for subprocess/debug runs: the hosted environment's
+    # sitecustomize pins JAX_PLATFORMS=axon before user code runs, so a plain
+    # env var cannot reach JAX — but jax.config still can while no
+    # computation has executed. NERF_TPU_PLATFORM=cpu forces CPU.
+    platform = os.environ.get("NERF_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     parser = argparse.ArgumentParser(prog="nerf_fewshot_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 

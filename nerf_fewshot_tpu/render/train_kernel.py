@@ -50,12 +50,22 @@ from nerf_fewshot_tpu.render.pipeline import RenderSettings
 # Sweepable via fused_train_loss_grad(interleave=...) / benchmarks.
 TRAIN_INTERLEAVE = 1
 
+# Head compute placement. The rgb+sigma head is 4 real outputs padded to the
+# MXU's 128-lane minimum, so its three matmuls (fwd out, bwd g_h, bwd dW) are
+# ~97% zero work — together ~6% of the step's MXU passes (RESULTS.md wall
+# analysis). 'vpu' computes them as broadcast-multiply(-reduce)s on the VPU
+# instead: 4 lane-reduces (fwd), 4 MAC chains (bwd g_h), 4 sublane-reduces
+# (bwd dW) over the (N, H) activations — work that can overlap the trunk's
+# MXU matmuls. 'mxu' is the padded-matmul layout. Sweepable via
+# fused_train_loss_grad(head_mode=...) / bench.py --head-mode.
+TRAIN_HEAD_MODE = "mxu"
+
 
 def _objective_body(
     x, z_ref, dnorm_ref, tgt_ref, mask_ref, invd_ref,
     w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
     loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
-    *, S, white_bkgd, compute_dtype, interleave=1,
+    *, S, white_bkgd, compute_dtype, interleave=1, head_mode="mxu",
 ):
     """Shared kernel body: forward → loss partial → analytic backward → dW
     accumulation, for an already-encoded tile input ``x``.
@@ -66,7 +76,13 @@ def _objective_body(
     layer's matmul waits on the previous one's drain); interleaved chains
     give the MXU a second in-flight matmul to overlap fill/drain bubbles
     with. Numerics are identical (same per-row math, same accumulation
-    order into the dW refs)."""
+    order into the dW refs).
+
+    ``head_mode``: 'mxu' uses the packed (H, OUT_PAD) head matmuls (4 real
+    columns of 128); 'vpu' takes the head in row layout wout_ref (8, H) /
+    bout_ref (1, 8) and computes all three head contractions as VPU
+    broadcast-multiply-reduces over (N, H), off the MXU entirely (and in
+    exact f32 — the VPU does not truncate)."""
     R = z_ref.shape[0]
     N = R * S
 
@@ -82,6 +98,7 @@ def _objective_body(
 
     K = interleave if R % interleave == 0 else 1
     Rc, Nc = R // K, N // K
+    vpu_head = head_mode == "vpu"
 
     # ---- forward: layer-interleaved across the K independent sub-chains.
     # K=1 must avoid every slice op (x[0:N] etc. can lower to layout
@@ -102,7 +119,19 @@ def _objective_body(
         ]
     for k in range(K):
         acts[k].append(hs[k])
-    outs = [_dot(h, wout_ref[:], compute_dtype) + bout_ref[:] for h in hs]
+    if vpu_head:
+        # 4 lane-reduces per chain: out_j = Σ_c h·w_j + b_j. Exact f32.
+        w_rows = [wout_ref[j:j + 1, :] for j in range(4)]
+        outs = [
+            jnp.concatenate(
+                [jnp.sum(h * w_rows[j], axis=1, keepdims=True)
+                 for j in range(4)],
+                axis=1,
+            ) + bout_ref[0:1, 0:4]
+            for h in hs
+        ]
+    else:
+        outs = [_dot(h, wout_ref[:], compute_dtype) + bout_ref[:] for h in hs]
 
     # ---- composite + loss + head cotangent per sub-chain (VPU work)
     z = z_ref[:]
@@ -152,24 +181,63 @@ def _objective_body(
         )
 
         d_pre_rgb = (d_rgb_s * rgb_s * (1.0 - rgb_s)).reshape(Nc, 3)
-        g_outs.append(jnp.concatenate(
-            [d_pre_rgb, d_sigma.reshape(Nc, 1),
-             jnp.zeros((Nc, OUT_PAD - 4), z.dtype)],
-            axis=1,
-        ))
+        if vpu_head:
+            # keep the thin (Nc, 4) cotangent; no 128-lane zero pad exists
+            g_outs.append(jnp.concatenate(
+                [d_pre_rgb, d_sigma.reshape(Nc, 1)], axis=1
+            ))
+        else:
+            g_outs.append(jnp.concatenate(
+                [d_pre_rgb, d_sigma.reshape(Nc, 1),
+                 jnp.zeros((Nc, OUT_PAD - 4), z.dtype)],
+                axis=1,
+            ))
 
     # (1,1) block store — Mosaic disallows scalar stores to VMEM
     loss_ref[:] += loss_acc
 
     # ---- backward: layer-interleaved g_h chains; dW sums over sub-chains
-    dwout_acc = _dot(acts[0][-1].T, g_outs[0], compute_dtype)
-    dbout_acc = jnp.sum(g_outs[0], axis=0, keepdims=True)
-    for k in range(1, K):
-        dwout_acc += _dot(acts[k][-1].T, g_outs[k], compute_dtype)
-        dbout_acc += jnp.sum(g_outs[k], axis=0, keepdims=True)
-    dwout_ref[:] += dwout_acc
-    dbout_ref[:] += dbout_acc
-    g_hs = [_dot(g, wout_ref[:].T, compute_dtype) for g in g_outs]
+    if vpu_head:
+        # dW rows via sublane reduces; g_h via 4 broadcast MACs. All VPU.
+        def head_dw(k):
+            h = acts[k][-1]
+            g = g_outs[k]
+            rows4 = jnp.concatenate(
+                [jnp.sum(h * g[:, j:j + 1], axis=0, keepdims=True)
+                 for j in range(4)],
+                axis=0,
+            )  # (4, H)
+            return jnp.concatenate(
+                [rows4, jnp.zeros((4, h.shape[1]), h.dtype)], axis=0
+            )
+
+        def head_db(k):
+            return jnp.concatenate(
+                [jnp.sum(g_outs[k], axis=0, keepdims=True),
+                 jnp.zeros((1, 4), z.dtype)],
+                axis=1,
+            )
+
+        dwout_acc = head_dw(0)
+        dbout_acc = head_db(0)
+        for k in range(1, K):
+            dwout_acc += head_dw(k)
+            dbout_acc += head_db(k)
+        dwout_ref[:] += dwout_acc
+        dbout_ref[:] += dbout_acc
+        g_hs = [
+            sum(g[:, j:j + 1] * wout_ref[j:j + 1, :] for j in range(4))
+            for g in g_outs
+        ]
+    else:
+        dwout_acc = _dot(acts[0][-1].T, g_outs[0], compute_dtype)
+        dbout_acc = jnp.sum(g_outs[0], axis=0, keepdims=True)
+        for k in range(1, K):
+            dwout_acc += _dot(acts[k][-1].T, g_outs[k], compute_dtype)
+            dbout_acc += jnp.sum(g_outs[k], axis=0, keepdims=True)
+        dwout_ref[:] += dwout_acc
+        dbout_ref[:] += dbout_acc
+        g_hs = [_dot(g, wout_ref[:].T, compute_dtype) for g in g_outs]
 
     for l in range(n_hidden - 1, -1, -1):
         g_hs = [
@@ -201,14 +269,14 @@ def _train_kernel(
     x_ref, z_ref, dnorm_ref, tgt_ref, mask_ref, invd_ref,
     w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
     loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
-    *, S, white_bkgd, compute_dtype, interleave=1,
+    *, S, white_bkgd, compute_dtype, interleave=1, head_mode="mxu",
 ):
     _objective_body(
         x_ref[:], z_ref, dnorm_ref, tgt_ref, mask_ref, invd_ref,
         w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
         loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
         S=S, white_bkgd=white_bkgd, compute_dtype=compute_dtype,
-        interleave=interleave,
+        interleave=interleave, head_mode=head_mode,
     )
 
 
@@ -218,6 +286,7 @@ def _train_pe_kernel(
     w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
     loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
     *, S, white_bkgd, compute_dtype, use_feats, x_pad, interleave=1,
+    head_mode="mxu",
 ):
     """Inline-PE variant: raw per-point inputs (pts[, dirs]) arrive as a thin
     (N, n_raw) block and the positional encoding is built in VMEM — the
@@ -245,14 +314,34 @@ def _train_pe_kernel(
         w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
         loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
         S=S, white_bkgd=white_bkgd, compute_dtype=compute_dtype,
-        interleave=interleave,
+        interleave=interleave, head_mode=head_mode,
     )
 
+
+def _head_shapes(H, head_mode):
+    """(wout, bout) shapes for the given head layout."""
+    if head_mode == "vpu":
+        return (8, H), (1, 8)
+    return (H, OUT_PAD), (1, OUT_PAD)
+
+
+def _to_vpu_head(wout, bout):
+    """(H, OUT_PAD) packed head → row layout (8, H) / (1, 8): rows
+    [r, g, b, sigma, 0×4]. Traceable XLA ops outside the kernel, so head
+    gradients flow back through the same transform."""
+    H = wout.shape[0]
+    wout_t = jnp.concatenate(
+        [wout[:, :4].T, jnp.zeros((4, H), wout.dtype)], axis=0
+    )
+    bout_t = jnp.concatenate(
+        [bout[:, :4], jnp.zeros((1, 4), bout.dtype)], axis=1
+    )
+    return wout_t, bout_t
 
 
 def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
                    packed, white_bkgd, interpret, compute_dtype, use_feats,
-                   interleave=1):
+                   interleave=1, head_mode="mxu"):
     w0, b0, wh, bh, wout, bout = packed
     R, S = z.shape
     N, n_raw = raw.shape
@@ -280,7 +369,7 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
     kernel = functools.partial(
         _train_pe_kernel, S=S, white_bkgd=white_bkgd,
         compute_dtype=compute_dtype, use_feats=use_feats, x_pad=D,
-        interleave=interleave,
+        interleave=interleave, head_mode=head_mode,
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -304,8 +393,8 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
             full((1, H)),
             full((L1, H, H)),
             full((L1, H)),
-            full((H, OUT_PAD)),
-            full((1, OUT_PAD)),
+            full(wout.shape),
+            full(bout.shape),
         ],
         out_specs=[
             full((1, 1)),
@@ -313,8 +402,8 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
             full((1, H)),
             full((L1, H, H)),
             full((L1, H)),
-            full((H, OUT_PAD)),
-            full((1, OUT_PAD)),
+            full(wout.shape),
+            full(bout.shape),
         ],
     )
     loss, dw0, db0, dwh, dbh, dwout, dbout = pl.pallas_call(
@@ -326,7 +415,7 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
             jax.ShapeDtypeStruct(wh.shape, raw.dtype),
             jax.ShapeDtypeStruct(bh.shape, raw.dtype),
             jax.ShapeDtypeStruct(wout.shape, raw.dtype),
-            jax.ShapeDtypeStruct((1, OUT_PAD), raw.dtype),
+            jax.ShapeDtypeStruct(bout.shape, raw.dtype),
         ],
         grid_spec=grid_spec,
         compiler_params=_compiler_params(),
@@ -337,9 +426,12 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
 
 
 def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
-                interpret, compute_dtype, interleave=1):
+                interpret, compute_dtype, interleave=1, head_mode="mxu"):
     w0, b0, wh, bh, wout, bout = packed
-    R, S, H = _check_shapes(x, z, dnorm, w0, wh, wout)
+    R, S = z.shape
+    H = w0.shape[1]
+    assert x.shape[0] == R * S and x.shape[1] % 128 == 0 and H % 128 == 0
+    assert wout.shape == (_head_shapes(H, head_mode)[0])
     D = x.shape[1]
     L1 = wh.shape[0]
     L_total = L1 + 2
@@ -354,6 +446,7 @@ def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
     kernel = functools.partial(
         _train_kernel, S=S, white_bkgd=white_bkgd,
         compute_dtype=compute_dtype, interleave=interleave,
+        head_mode=head_mode,
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -372,8 +465,8 @@ def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
             full((1, H)),
             full((L1, H, H)),
             full((L1, H)),
-            full((H, OUT_PAD)),
-            full((1, OUT_PAD)),
+            full(wout.shape),
+            full(bout.shape),
         ],
         out_specs=[
             full((1, 1)),
@@ -381,8 +474,8 @@ def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
             full((1, H)),
             full((L1, H, H)),
             full((L1, H)),
-            full((H, OUT_PAD)),
-            full((1, OUT_PAD)),
+            full(wout.shape),
+            full(bout.shape),
         ],
     )
     loss, dw0, db0, dwh, dbh, dwout, dbout = pl.pallas_call(
@@ -394,7 +487,7 @@ def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
             jax.ShapeDtypeStruct(wh.shape, x.dtype),
             jax.ShapeDtypeStruct(bh.shape, x.dtype),
             jax.ShapeDtypeStruct(wout.shape, x.dtype),
-            jax.ShapeDtypeStruct((1, OUT_PAD), x.dtype),
+            jax.ShapeDtypeStruct(bout.shape, x.dtype),
         ],
         grid_spec=grid_spec,
         compiler_params=_compiler_params(),
@@ -423,6 +516,7 @@ def fused_train_loss_grad(
     denom_rays: Optional[jnp.ndarray] = None,
     inline_pe: bool = True,
     interleave: Optional[int] = None,
+    head_mode: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """(masked-MSE loss, param-gradient tree) in one fused kernel pass.
 
@@ -444,6 +538,18 @@ def fused_train_loss_grad(
     assert settings.noise_std == 0.0
     if interleave is None:
         interleave = TRAIN_INTERLEAVE
+    if head_mode is None:
+        head_mode = TRAIN_HEAD_MODE
+
+    def _pack(p, d_pad, row_perm=None):
+        out = pack_params(p, num_layers, hidden_dim, lora_alpha,
+                          d_pad=d_pad, row_perm=row_perm)
+        if head_mode == "vpu":
+            w0, b0, wh, bh, wout, bout = out
+            wout, bout = _to_vpu_head(wout, bout)
+            out = (w0, b0, wh, bh, wout, bout)
+        return out
+
     k_strat = k_imp = None
     if key is not None and settings.perturb:
         k_strat, k_imp = jax.random.split(key)
@@ -509,9 +615,7 @@ def fused_train_loss_grad(
         )
         d_pad = -(-x_dim // 128) * 128
         packed, pack_vjp = jax.vjp(
-            lambda p: pack_params(p, num_layers, hidden_dim, lora_alpha,
-                                  d_pad=d_pad, row_perm=perm),
-            params,
+            lambda p: _pack(p, d_pad, row_perm=perm), params
         )
         raw = _raw_block(pts, rays_d, use_viewdirs)
         feats = dino if dino is not None else jnp.zeros((raw.shape[0], 8),
@@ -520,21 +624,18 @@ def fused_train_loss_grad(
             raw, feats, z, dnorm, target, mask[:, None], inv_denom,
             jnp.asarray(e2), jnp.asarray(c), packed, settings.white_bkgd,
             interpret, compute_dtype, use_feats=dino is not None,
-            interleave=interleave,
+            interleave=interleave, head_mode=head_mode,
         )
         grads = pack_vjp(dpacked)[0]
         return loss, grads
 
     x = encode_points(pts, rays_d, pos_freq, dir_freq, use_viewdirs, dino)
     d_pad = x.shape[-1]
-    packed, pack_vjp = jax.vjp(
-        lambda p: pack_params(p, num_layers, hidden_dim, lora_alpha,
-                              d_pad=d_pad),
-        params,
-    )
+    packed, pack_vjp = jax.vjp(lambda p: _pack(p, d_pad), params)
     loss, dpacked = _train_call(
         x, z, dnorm, target, mask[:, None], inv_denom, packed,
         settings.white_bkgd, interpret, compute_dtype, interleave=interleave,
+        head_mode=head_mode,
     )
     grads = pack_vjp(dpacked)[0]
     return loss, grads

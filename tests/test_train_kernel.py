@@ -17,9 +17,10 @@ HIDDEN, NL = 128, 3
 POS_FREQ, DIR_FREQ = 10, 4
 
 
+@pytest.mark.parametrize("head_mode", ["mxu", "vpu"])
 @pytest.mark.parametrize("white_bkgd", [False, True])
 @pytest.mark.parametrize("with_mask", [False, True])
-def test_train_kernel_matches_autodiff(white_bkgd, with_mask):
+def test_train_kernel_matches_autodiff(white_bkgd, with_mask, head_mode):
     model = NeRFMLP(pos_freq=POS_FREQ, dir_freq=DIR_FREQ, use_viewdirs=True,
                     hidden_dim=HIDDEN, num_layers=NL)
     params = model.init(
@@ -48,7 +49,7 @@ def test_train_kernel_matches_autodiff(white_bkgd, with_mask):
     want_loss, want_grads = jax.value_and_grad(autodiff_loss)(params)
     got_loss, got_grads = fused_train_loss_grad(
         params, ro, rd, tgt, mask, settings, POS_FREQ, DIR_FREQ, NL, HIDDEN,
-        interpret=True,
+        interpret=True, head_mode=head_mode,
     )
 
     np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
@@ -308,6 +309,43 @@ def test_train_kernel_interleave_hierarchical_and_features():
     got = fused_train_loss_grad(
         params, ro, rd, tgt, jnp.ones((R,)), settings, POS_FREQ, DIR_FREQ,
         NL, HIDDEN, point_features_fn=pf, interpret=True, interleave=2,
+    )
+    np.testing.assert_allclose(float(got[0]), float(want[0]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(want[1]),
+                    jax.tree_util.tree_leaves(got[1])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_train_kernel_vpu_head_hierarchical_and_features():
+    """The VPU head layout (row-layout wout, lane/sublane-reduce
+    contractions) composes with the hierarchical fine pass and per-point
+    features, matching the MXU-head kernel."""
+    dino_dim = 64
+    model = NeRFMLP(pos_freq=POS_FREQ, dir_freq=DIR_FREQ, use_viewdirs=True,
+                    hidden_dim=HIDDEN, num_layers=NL, dino_dim=dino_dim,
+                    sigma_bias_init=0.3)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 3)), jnp.zeros((1, 3)),
+        jnp.zeros((1, dino_dim)),
+    )["params"]
+    ro = jnp.asarray(RNG.standard_normal((R, 3)).astype(np.float32))
+    rd = jnp.asarray(RNG.standard_normal((R, 3)).astype(np.float32))
+    tgt = jnp.asarray(RNG.uniform(0, 1, (R, 3)).astype(np.float32))
+    W = jnp.asarray(RNG.standard_normal((3, dino_dim)).astype(np.float32))
+
+    def pf(pts):
+        return jnp.tanh(pts @ W)
+
+    settings = RenderSettings(near=2.0, far=6.0, n_samples=S,
+                              n_importance=S, perturb=False)
+    want = fused_train_loss_grad(
+        params, ro, rd, tgt, jnp.ones((R,)), settings, POS_FREQ, DIR_FREQ,
+        NL, HIDDEN, point_features_fn=pf, interpret=True, head_mode="mxu",
+    )
+    got = fused_train_loss_grad(
+        params, ro, rd, tgt, jnp.ones((R,)), settings, POS_FREQ, DIR_FREQ,
+        NL, HIDDEN, point_features_fn=pf, interpret=True, head_mode="vpu",
     )
     np.testing.assert_allclose(float(got[0]), float(want[0]), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(want[1]),
