@@ -66,6 +66,11 @@ def run_scaling_benchmark(
 
     results = []
     base_rate = None
+    # On the forced-CPU test platform the N "devices" are virtual slices of
+    # ONE host CPU, so weak-scaling "efficiency" measures core contention,
+    # not interconnect overhead — annotate every row so the number cannot be
+    # read as a hardware result (it validates the harness/sharding only).
+    contended = jax.default_backend() == "cpu"
     for nd in device_counts:
         mesh = make_mesh(nd)
         step_dp = data_parallel_train_step(
@@ -90,15 +95,30 @@ def run_scaling_benchmark(
         rate = B * iters / dt
         if base_rate is None:
             base_rate = rate
-        results.append(
-            {
-                "devices": nd,
-                "rays_per_sec": round(rate, 1),
-                "rays_per_sec_per_device": round(rate / nd, 1),
-                "efficiency": round(rate / (base_rate * nd), 4),
-            }
+        row = {
+            "devices": nd,
+            "rays_per_sec": round(rate, 1),
+            "rays_per_sec_per_device": round(rate / nd, 1),
+        }
+        eff = round(rate / (base_rate * nd), 4)
+        if contended:
+            row["efficiency_core_contended_virtual"] = eff
+        else:
+            row["efficiency"] = eff
+        results.append(row)
+    out = {
+        "batch_per_device": batch_per_device,
+        "backend": jax.default_backend(),
+        "devices_available": n_avail,
+        "results": results,
+    }
+    if contended:
+        out["caveat"] = (
+            "N virtual devices contend one host CPU: "
+            "'efficiency_core_contended_virtual' is a harness/sharding "
+            "validation, NOT an interconnect-efficiency measurement"
         )
-    return {"batch_per_device": batch_per_device, "results": results}
+    return out
 
 
 if __name__ == "__main__":
