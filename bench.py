@@ -94,7 +94,8 @@ def bench_jax_inference(n_rays: int = 2048) -> float:
     return n_rays * ITERS / dt
 
 
-def bench_jax(hierarchical: bool = False, interleave=None) -> float:
+def bench_jax(hierarchical: bool = False, interleave=None,
+              head_mode=None, stash_mb=None) -> float:
     import jax
 
     _enable_compile_cache()
@@ -104,7 +105,12 @@ def bench_jax(hierarchical: bool = False, interleave=None) -> float:
 
     from nerf_fewshot_tpu.models import NeRFMLP
     from nerf_fewshot_tpu.render import RenderSettings, render_rays
+    from nerf_fewshot_tpu.render import kernels as _kernels
     from nerf_fewshot_tpu.render.train_kernel import fused_train_loss_grad
+
+    if stash_mb is not None:
+        # tile-size sweep knob: R_T ≈ stash / ((L+2)·H·4·S)
+        _kernels.BWD_STASH_BUDGET = int(stash_mb * 1024 * 1024)
 
     model = NeRFMLP(
         pos_freq=POS_FREQ, dir_freq=DIR_FREQ, use_viewdirs=True,
@@ -129,7 +135,7 @@ def bench_jax(hierarchical: bool = False, interleave=None) -> float:
             loss, grads = fused_train_loss_grad(
                 params, rays_o, rays_d, target, mask, settings,
                 POS_FREQ, DIR_FREQ, N_LAYERS, HIDDEN, key=key,
-                interleave=interleave,
+                interleave=interleave, head_mode=head_mode,
             )
         else:
             def loss_fn(p):
@@ -332,6 +338,12 @@ def main(argv=None):
                         "inference = forward-only eval/serving render")
     p.add_argument("--interleave", type=int, default=None,
                    help="train-kernel sub-chain interleave override (sweep)")
+    p.add_argument("--head-mode", choices=["mxu", "vpu"], default=None,
+                   help="rgb+sigma head placement: padded MXU matmuls vs "
+                        "VPU broadcast-reduces (sweep)")
+    p.add_argument("--stash-mb", type=float, default=None,
+                   help="backward activation-stash budget in MiB "
+                        "(ray-tile-size sweep; default 12)")
     p.add_argument("--remeasure-baseline", action="store_true",
                    help="also measure a fresh single-sample torch baseline "
                         "and report it alongside the pinned ratio")
@@ -344,7 +356,9 @@ def main(argv=None):
     if inference:
         jax_rate = bench_jax_inference()
     else:
-        jax_rate = bench_jax(hierarchical=hier, interleave=args.interleave)
+        jax_rate = bench_jax(hierarchical=hier, interleave=args.interleave,
+                             head_mode=args.head_mode,
+                             stash_mb=args.stash_mb)
 
     torch_rate = load_pinned_baseline(args.config)
     baseline_source = "pinned-median-of-3"

@@ -26,8 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nerf_fewshot_tpu.ops.sampling import hierarchical_sample, sample_along_rays
 from nerf_fewshot_tpu.render.fused import encode_points
+from nerf_fewshot_tpu.render import kernels as _kernels
 from nerf_fewshot_tpu.render.kernels import (
-    BWD_STASH_BUDGET,
     OUT_PAD,
     _check_shapes,
     _compiler_params,
@@ -353,7 +353,7 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
     # so the tile grows K× while each dependent-matmul chain keeps the
     # latency-optimal per-chain size.
     max_pts = max(
-        interleave * BWD_STASH_BUDGET // ((L1 + 2) * H * 4), S
+        interleave * _kernels.BWD_STASH_BUDGET // ((L1 + 2) * H * 4), S
     )
     R_T = _pick_tile_rays(R, max_pts // S)
     # Each sub-chain must keep ≥8 rays (Mosaic's sublane minimum for the
@@ -435,7 +435,9 @@ def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
     D = x.shape[1]
     L1 = wh.shape[0]
     L_total = L1 + 2
-    max_pts = max(interleave * BWD_STASH_BUDGET // (L_total * H * 4), S)
+    max_pts = max(
+        interleave * _kernels.BWD_STASH_BUDGET // (L_total * H * 4), S
+    )
     R_T = _pick_tile_rays(R, max_pts // S)
     while interleave > 1 and (
         R_T % interleave != 0 or R_T // interleave < 8
