@@ -56,24 +56,26 @@ def run_one(name: str, tag: str) -> dict:
         yaml.safe_dump(doc, f)
 
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "-m", "nerf_fewshot_tpu.cli", "train",
-         "--config", cfg_path, "--synthetic"],
-        cwd=REPO, capture_output=True, text=True, timeout=RUN_TIMEOUT_S,
-    )
+    # stream stdout+stderr to a live log (visibility into slow remote
+    # compiles; capture_output would hide everything until exit)
+    log_path = os.path.join(out_dir, "stdout.log")
+    with open(log_path, "w") as logf:
+        proc = subprocess.run(
+            [sys.executable, "-m", "nerf_fewshot_tpu.cli", "train",
+             "--config", cfg_path, "--synthetic"],
+            cwd=REPO, stdout=logf, stderr=subprocess.STDOUT, text=True,
+            timeout=RUN_TIMEOUT_S,
+        )
     wall = time.time() - t0
-    with open(os.path.join(out_dir, "stdout.log"), "w") as f:
-        f.write(proc.stdout)
-        if proc.stderr:
-            f.write("\n--- stderr ---\n")
-            f.write(proc.stderr)
+    with open(log_path) as f:
+        stdout = f.read()
     if proc.returncode != 0:
         return {"name": name, "ok": False, "wall_s": wall,
-                "error": proc.stderr.strip().splitlines()[-1:]}
+                "error": stdout.strip().splitlines()[-1:]}
 
-    # final line of stdout is {"final_metrics": ..., "best_psnr": ...}
+    # final json line of stdout is {"final_metrics": ..., "best_psnr": ...}
     final = {}
-    for line in reversed(proc.stdout.strip().splitlines()):
+    for line in reversed(stdout.strip().splitlines()):
         try:
             final = json.loads(line)
             break
