@@ -34,7 +34,8 @@ import jax.numpy as jnp
 GRAD_REL_TOL = 2e-2
 
 
-def kernel_gradient_check(tol: float = GRAD_REL_TOL) -> Dict[str, Any]:
+def kernel_gradient_check(tol: float = GRAD_REL_TOL,
+                          sigma_bias: float = 0.1) -> Dict[str, Any]:
     """Run the fused train kernel and XLA autodiff on identical inputs on the
     current default backend; return a dict with the relative gradient error.
 
@@ -43,6 +44,13 @@ def kernel_gradient_check(tol: float = GRAD_REL_TOL) -> Dict[str, Any]:
     losses diverge beyond 1e-4, or the model is gradient-dead (which would
     make the comparison vacuous — a dead sigma head yields zero grads on
     both paths).
+
+    ``sigma_bias`` sets the operating regime: 0.1 is the live-start default;
+    a large value (e.g. 5.0) saturates the alphas so transmittances reach
+    the 1e-10 epsilon floor — the catastrophic-cancellation regime the
+    backward's ``s_after / om`` division amplifies by 1e10, which is where
+    training blow-ups live or die (the script_* recipes cross it around
+    epoch 3-5).
     """
     from nerf_fewshot_tpu.models import NeRFMLP
     from nerf_fewshot_tpu.render import RenderSettings, render_rays
@@ -50,7 +58,7 @@ def kernel_gradient_check(tol: float = GRAD_REL_TOL) -> Dict[str, Any]:
 
     R, S, H, L, PF, DF = 256, 16, 128, 3, 6, 2
     model = NeRFMLP(pos_freq=PF, dir_freq=DF, use_viewdirs=True,
-                    hidden_dim=H, num_layers=L, sigma_bias_init=0.1)
+                    hidden_dim=H, num_layers=L, sigma_bias_init=sigma_bias)
     params = model.init(
         jax.random.key(0), jnp.zeros((1, 3)), jnp.zeros((1, 3))
     )["params"]
