@@ -222,13 +222,19 @@ def _fwd_pe_kernel(
     pre-permuted with pack_params(row_perm=...)."""
     raw = raw_ref[:]
     phases = (
-        # DEFAULT (one bf16 pass) is deliberate here: truncating raw is
-        # equivalent to a ≤0.4% jitter of the sample POSITION seen by the
-        # high-frequency sin/cos features — positions carry no gradient, the
-        # loss is insensitive to it (measured ~1e-4), and HIGHEST on this dot
-        # costs real step time. Contrast the compositing dots below, where
-        # bf16 inputs corrupt gradients catastrophically.
-        jnp.dot(raw, e2_ref[:], preferred_element_type=jnp.float32) + c_ref[:]
+        # HIGHEST is load-bearing (round-4 find): a one-pass bf16 dot
+        # quantizes raw positions to ~2^-9 relative, and the top PE bands
+        # multiply that by 2^(pos_freq-1) — at the real configs' pos_freq
+        # 10/12 the phase error is O(radians), i.e. the kernel silently
+        # computes a DIFFERENT position-quantized encoding function.
+        # Self-consistent (fwd+bwd share x, so training still descends) but
+        # 20-48% gradient divergence from the true f32 function on chip,
+        # and the script_* recipes' knife-edge instability resolved
+        # differently under it (collapse vs recovery). The dot is (N, 6) @
+        # (6, n_phase) — noise next to the trunk matmuls, so exact f32
+        # costs nothing measurable.
+        jnp.dot(raw, e2_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + c_ref[:]
     )
     blocks = [raw, jnp.sin(phases)]
     d_used = raw.shape[1] + phases.shape[1]

@@ -296,10 +296,12 @@ def _train_pe_kernel(
     row_perm)."""
     raw = raw_ref[:]  # (N, n_raw): [pts | dirs?]
     phases = (
-        # DEFAULT is deliberate: bf16-truncating raw == ≤0.4% positional
-        # jitter on the high-freq PE features (no gradient flows through
-        # positions); see kernels._fwd_pe_kernel's note.
-        jnp.dot(raw, e2_ref[:], preferred_element_type=jnp.float32) + c_ref[:]
+        # HIGHEST is load-bearing: one-pass bf16 here quantizes positions
+        # and garbles the top PE frequency bands at pos_freq 10/12 — the
+        # round-4 20-48% on-chip gradient divergence. See
+        # kernels._fwd_pe_kernel's note.
+        jnp.dot(raw, e2_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + c_ref[:]
     )
     blocks = [raw, jnp.sin(phases)]
     d_used = raw.shape[1] + phases.shape[1]

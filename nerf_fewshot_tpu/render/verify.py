@@ -14,7 +14,11 @@ JSON output; ``tests/test_tpu_numerics.py`` asserts the same bound under
 The model shapes are deliberately small (256 rays × 16 samples, 3×128 MLP)
 so the check compiles quickly while still exercising every pinned dot:
 the log-space transmittance cumsum (forward), the signed suffix-sum
-triangular matmuls (backward), and the inline-PE phase matmul.
+triangular matmuls (backward), and the inline-PE phase matmul. The PE
+frequencies are the REAL configs' pos_freq=10/dir_freq=4 — round 4 found
+that a pos_freq=6 check is blind to the phase-matmul truncation class
+(phase error scales with 2^(pos_freq-1), so small-frequency probes pass
+while production configs see O(radian) quantization).
 """
 
 from __future__ import annotations
@@ -56,7 +60,7 @@ def kernel_gradient_check(tol: float = GRAD_REL_TOL,
     from nerf_fewshot_tpu.render import RenderSettings, render_rays
     from nerf_fewshot_tpu.render.train_kernel import fused_train_loss_grad
 
-    R, S, H, L, PF, DF = 256, 16, 128, 3, 6, 2
+    R, S, H, L, PF, DF = 256, 16, 128, 3, 10, 4
     model = NeRFMLP(pos_freq=PF, dir_freq=DF, use_viewdirs=True,
                     hidden_dim=H, num_layers=L, sigma_bias_init=sigma_bias)
     params = model.init(
