@@ -1,0 +1,95 @@
+"""On-chip A/B at the pre-spike training state: fused kernel vs XLA
+loss+gradients on the REAL script_baseline pipeline inputs, with params
+loaded from a checkpoint trained to the epoch where the recipe's knife-edge
+instability begins (epochs 0-4 losses are path-identical; epoch 5 resolves
+as recovery on CPU-f32/XLA-TPU but collapse on the kernel path).
+
+Usage:
+  NERF_TPU_PLATFORM=cpu ... --epochs 5 train -> /tmp/diag_sb5/final.ckpt
+  python tools/diag_spike_state.py [ckpt]       (on the chip)
+  DIAG_CPU=1 python tools/diag_spike_state.py   (interpret-mode sanity)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get('DIAG_CPU'):
+    jax.config.update('jax_platforms', 'cpu')
+
+import numpy as np
+import jax.flatten_util
+import jax.numpy as jnp
+
+from nerf_fewshot_tpu.training.config import load_config
+from nerf_fewshot_tpu.training.trainer import Trainer, _feature_sampler
+from nerf_fewshot_tpu.cli import _load_datasets, _precompute_features
+from nerf_fewshot_tpu.render import RenderSettings, render_rays
+from nerf_fewshot_tpu.render.train_kernel import fused_train_loss_grad
+from nerf_fewshot_tpu.utils.profiling import enable_compile_cache
+
+enable_compile_cache()
+
+CKPT = sys.argv[1] if len(sys.argv) > 1 else '/tmp/diag_sb5/final.ckpt'
+
+cfg = load_config('experiments/script_baseline.yaml')
+train_data, test_data = _load_datasets(cfg, True)
+feats = _precompute_features(cfg, train_data)
+tr = Trainer(cfg, train_data, test_data, dino_features=feats,
+             log_path='/tmp/diag_spike_log.jsonl')
+tr.load(CKPT)
+print('loaded', CKPT, 'at epoch', tr.epoch, flush=True)
+
+phase = cfg.phase_for_epoch(tr.epoch)
+H = W = phase.H
+from nerf_fewshot_tpu.ops.rays import get_rays
+
+focal_full = tr.focal
+focal = focal_full if not cfg.focal_scaling else focal_full * H / tr.H
+settings = RenderSettings(near=cfg.rendering.near, far=cfg.rendering.far,
+                          n_samples=phase.n_samples, perturb=False)
+POS_FREQ, DIR_FREQ = cfg.nerf.pos_freq, cfg.nerf.dir_freq
+NL, HD = cfg.nerf.num_layers, cfg.nerf.hidden_dim
+UV = cfg.nerf.use_viewdirs
+
+for view in range(len(tr.poses)):
+    rays_o, rays_d = get_rays(H, W, focal, tr.poses[view])
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    target = jax.image.resize(
+        tr.targets_full[view], (H, W, 3), 'linear'
+    ).reshape(-1, 3)
+    R = rays_o.shape[0]
+    mask = jnp.ones((R,))
+    pf = _feature_sampler(tr.dino_features[view], tr.poses[view], focal_full,
+                          tr.H, tr.W, align_corners=cfg.dino.align_corners,
+                          invalid_fill=cfg.dino.invalid_fill,
+                          projection=cfg.dino.projection)
+
+    lk, gk = jax.jit(lambda p: fused_train_loss_grad(
+        p, rays_o, rays_d, target, mask, settings, POS_FREQ, DIR_FREQ,
+        NL, HD, use_viewdirs=UV, point_features_fn=pf,
+        interpret=bool(os.environ.get('DIAG_CPU'))))(tr.params)
+
+    def loss_fn(p):
+        def model_fn(pts, dirs, dino):
+            return tr.model.apply({"params": p}, pts, dirs, dino)
+        out = render_rays(model_fn, rays_o, rays_d, settings,
+                          point_features_fn=pf)
+        return jnp.mean((out.rgb - target) ** 2)
+
+    lx, gx = jax.jit(jax.value_and_grad(loss_fn))(tr.params)
+    fk = np.asarray(jax.flatten_util.ravel_pytree(gk)[0], np.float64)
+    fx = np.asarray(jax.flatten_util.ravel_pytree(gx)[0], np.float64)
+    rel = np.linalg.norm(fk - fx) / max(np.linalg.norm(fx), 1e-30)
+    # per-head breakdown
+    def head_rel(name):
+        a = np.asarray(jax.flatten_util.ravel_pytree(gk[name])[0], np.float64)
+        b = np.asarray(jax.flatten_util.ravel_pytree(gx[name])[0], np.float64)
+        return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+    print(f"view {view}: loss_k={float(lk):.6f} loss_x={float(lx):.6f} "
+          f"grad_rel={rel:.3e} sigma_head={head_rel('sigma_head'):.3e} "
+          f"rgb_head={head_rel('rgb_head'):.3e}", flush=True)
