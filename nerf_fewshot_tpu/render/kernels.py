@@ -143,6 +143,27 @@ def _fwd_kernel(
 
 
 
+def _phases_exact(raw, e2, c):
+    """Exact-f32 phase matrix for the inline PE: per-raw-column broadcast
+    MACs on the VPU instead of a matmul.
+
+    Load-bearing numerics (round-4 find): a one-pass bf16 Mosaic dot
+    quantizes raw positions to ~2^-9 relative, and the top PE bands
+    multiply that by 2^(pos_freq-1) — at the real configs' pos_freq 10/12
+    the phase error is O(radians), i.e. the kernel silently computed a
+    DIFFERENT position-quantized encoding function. Self-consistent
+    (fwd+bwd share x, so training still descended) but 20-48% gradient
+    divergence from the true f32 function on chip. `Precision.HIGHEST` on
+    the dot fixes the numerics but costs measurable step time (Mosaic's
+    6-pass decomposition); the contraction depth is only n_raw=3/6, so
+    unrolled broadcast multiply-adds are exact AND stay off the MXU."""
+    n_raw = raw.shape[1]
+    acc = c
+    for d in range(n_raw):
+        acc = acc + raw[:, d:d + 1] * e2[d:d + 1, :]
+    return acc
+
+
 def _raw_block(pts, rays_d, use_viewdirs: bool):
     """(R, S, 3) points [+ per-sample ray dirs] -> the thin (R*S, n_raw)
     input block consumed by the inline-PE kernels."""
@@ -221,21 +242,7 @@ def _fwd_pe_kernel(
     and the (N, 128+) encoded block never exists in HBM. Weight rows must be
     pre-permuted with pack_params(row_perm=...)."""
     raw = raw_ref[:]
-    phases = (
-        # HIGHEST is load-bearing (round-4 find): a one-pass bf16 dot
-        # quantizes raw positions to ~2^-9 relative, and the top PE bands
-        # multiply that by 2^(pos_freq-1) — at the real configs' pos_freq
-        # 10/12 the phase error is O(radians), i.e. the kernel silently
-        # computes a DIFFERENT position-quantized encoding function.
-        # Self-consistent (fwd+bwd share x, so training still descends) but
-        # 20-48% gradient divergence from the true f32 function on chip,
-        # and the script_* recipes' knife-edge instability resolved
-        # differently under it (collapse vs recovery). The dot is (N, 6) @
-        # (6, n_phase) — noise next to the trunk matmuls, so exact f32
-        # costs nothing measurable.
-        jnp.dot(raw, e2_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + c_ref[:]
-    )
+    phases = _phases_exact(raw, e2_ref[:], c_ref[:])
     blocks = [raw, jnp.sin(phases)]
     d_used = raw.shape[1] + phases.shape[1]
     if use_feats:

@@ -36,6 +36,7 @@ from nerf_fewshot_tpu.render.kernels import (
     _fused_fwd_impl,
     _mlp_forward,
     _pick_tile_rays,
+    _phases_exact,
     _tri_after,
     _raw_block,
     fused_render_fwd_pe,
@@ -295,14 +296,10 @@ def _train_pe_kernel(
     first trunk layer's rows are pre-permuted to this layout (pack_params
     row_perm)."""
     raw = raw_ref[:]  # (N, n_raw): [pts | dirs?]
-    phases = (
-        # HIGHEST is load-bearing: one-pass bf16 here quantizes positions
-        # and garbles the top PE frequency bands at pos_freq 10/12 — the
-        # round-4 20-48% on-chip gradient divergence. See
-        # kernels._fwd_pe_kernel's note.
-        jnp.dot(raw, e2_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + c_ref[:]
-    )
+    # exact-f32 phases via VPU broadcast MACs — one-pass bf16 here garbles
+    # the top PE bands at pos_freq 10/12 (round-4 20-48% on-chip gradient
+    # divergence) and HIGHEST costs step time; see kernels._phases_exact.
+    phases = _phases_exact(raw, e2_ref[:], c_ref[:])
     blocks = [raw, jnp.sin(phases)]
     d_used = raw.shape[1] + phases.shape[1]
     if use_feats:
