@@ -141,6 +141,104 @@ def test_image_and_pixel_gradients_allclose():
     )
 
 
+def test_image_and_gradients_vs_reference_own_modules():
+    """Same gate as above, but the torch side is built ENTIRELY from the
+    reference's own imported source (VERDICT r4 item 2): PositionalEncoding
+    (positional_encoding.py:5-33) → nerf_model.NeRFMLP (nerf_model.py:5-24)
+    → nerf_mlp.VolumeRenderer (nerf_mlp.py:160-215) → nerf_mlp.NeRFLoss
+    (nerf_mlp.py:217-258). Gradients are produced by autograd through the
+    reference's actual code, so no transcription sits between the two sides.
+    Skips cleanly when /root/reference is unmounted.
+    """
+    import reference_oracle as ref
+
+    pe_mod = ref.load("positional_encoding")
+    nmod = ref.load("nerf_model")
+    nm = ref.load("nerf_mlp")
+
+    torch.manual_seed(7)
+    enc_pos = pe_mod.PositionalEncoding(num_freqs=POS_FREQ)
+    enc_dir = pe_mod.PositionalEncoding(num_freqs=DIR_FREQ)
+    in_dim = 3 * (2 * POS_FREQ + 1) + 3 * (2 * DIR_FREQ + 1)
+    tm = nmod.NeRFMLP(pos_dim=in_dim, hidden_dim=HIDDEN, n_layers=N_LAYERS)
+    vr = nm.VolumeRenderer()
+    vr.eval()
+    crit = nm.NeRFLoss(rgb_weight=1.0)
+
+    model = NeRFMLP(pos_freq=POS_FREQ, dir_freq=DIR_FREQ, use_viewdirs=True,
+                    hidden_dim=HIDDEN, num_layers=N_LAYERS)
+    params0 = model.init(
+        jax.random.key(0), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )["params"]
+    params = import_nerf_mlp_state_dict(params0, tm.state_dict())
+
+    rays_o = RNG.standard_normal((R, 3)).astype(np.float32)
+    rays_d = RNG.standard_normal((R, 3)).astype(np.float32)
+    z_vals = np.sort(RNG.uniform(2.0, 6.0, (R, S)).astype(np.float32), -1)
+    target = RNG.uniform(0, 1, (R, 3)).astype(np.float32)
+
+    # ---- torch side: every op is the reference's own module
+    ro_t, rd_t = torch.from_numpy(rays_o), torch.from_numpy(rays_d)
+    z_t = torch.from_numpy(z_vals)
+    pts_t = ro_t[:, None] + rd_t[:, None] * z_t[..., None]
+    dirs_t = rd_t[:, None].expand(-1, S, -1)
+    h = torch.cat(
+        [enc_pos(pts_t.reshape(-1, 3)), enc_dir(dirs_t.reshape(-1, 3))], -1
+    )
+    out_t = tm(h)  # (N, 4) = [sigmoid rgb, raw sigma]
+    rgb_t = out_t[..., :3].reshape(R, S, 3)
+    sigma_t = out_t[..., 3].reshape(R, S)
+    r_rgb, r_depth, r_w = vr(rgb_t, sigma_t[..., None], z_t, rd_t)
+    losses_t = crit({"rgb": r_rgb}, {"rgb": torch.from_numpy(target)})
+    losses_t["total"].backward()
+
+    # ---- jax side, production ops, identical injected z_vals
+    def render(p):
+        pts = (
+            jnp.asarray(rays_o)[:, None]
+            + jnp.asarray(rays_d)[:, None] * jnp.asarray(z_vals)[..., None]
+        )
+        dirs = jnp.broadcast_to(jnp.asarray(rays_d)[:, None], (R, S, 3))
+        rgb, sigma = model.apply(
+            {"params": p}, pts.reshape(-1, 3), dirs.reshape(-1, 3)
+        )
+        return volume_render(
+            rgb.reshape(R, S, 3), sigma.reshape(R, S),
+            jnp.asarray(z_vals), jnp.asarray(rays_d),
+        )
+
+    def loss_fn(p):
+        return jnp.mean((render(p).rgb - jnp.asarray(target)) ** 2)
+
+    out = render(params)
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+
+    np.testing.assert_allclose(
+        np.asarray(out.rgb), r_rgb.detach().numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.depth), r_depth.detach().numpy(), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.weights), r_w.detach().numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(float(loss), float(losses_t["total"]), rtol=1e-5)
+    for i in range(N_LAYERS):
+        np.testing.assert_allclose(
+            np.asarray(grads[f"trunk_{i}"]["kernel"]),
+            tm.layers[i].weight.grad.numpy().T,
+            rtol=2e-3, atol=1e-7, err_msg=f"trunk_{i} kernel vs reference",
+        )
+    np.testing.assert_allclose(
+        np.asarray(grads["sigma_head"]["kernel"]),
+        tm.sigma_out.weight.grad.numpy().T, rtol=2e-3, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads["rgb_head"]["kernel"]),
+        tm.rgb_out.weight.grad.numpy().T, rtol=2e-3, atol=1e-7,
+    )
+
+
 def test_multi_step_training_trajectory_allclose():
     """Run N full Adam steps of the COMPLETE pipeline (injected z_vals → PE →
     MLP → composite → MSE → Adam → repeat) on both sides from transplanted
