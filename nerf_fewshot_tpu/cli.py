@@ -131,7 +131,12 @@ def cmd_train(args) -> None:
     else:
         metrics = trainer.fit()
     trainer.save(os.path.join(cfg.output.save_dir, "final.ckpt"))
-    print(json.dumps({"final_metrics": metrics, "best_psnr": trainer.best_psnr}))
+    summary = {"final_metrics": metrics, "best_psnr": trainer.best_psnr}
+    if trainer.dead_sigma_epochs:
+        # run ended inside the zero-gradient collapse basin — annotate the
+        # artifact so no table row quotes this number unexplained
+        summary["dead_sigma_epochs"] = trainer.dead_sigma_epochs
+    print(json.dumps(summary))
 
 
 def cmd_evaluate(args) -> None:
@@ -146,6 +151,20 @@ def cmd_evaluate(args) -> None:
     trainer.load(args.checkpoint)
     out_dir = args.output or os.path.join(cfg.output.save_dir, "evaluation")
     results = comprehensive_evaluation(trainer, out_dir, n_orbit=args.n_orbit)
+    m = results.get("metrics", {})
+    if "lpips" in m:
+        backend = m.get("lpips_backend", "unknown")
+        caveat = (
+            ""
+            if m.get("lpips_pretrained")
+            else " — random-VGG features: NOT comparable to the reference's "
+            "pretrained-VGG scale (~0.53, reference train.py:99-101)"
+        )
+        print(
+            f"[eval] PSNR {m.get('psnr', float('nan')):.2f}  "
+            f"SSIM {m.get('ssim', float('nan')):.3f}  "
+            f"LPIPS {m['lpips']:.4f} [{backend}{caveat}]"
+        )
     print(json.dumps(results, default=float))
 
 

@@ -115,6 +115,12 @@ class LPIPSMetric:
 
             self._jax_model = LPIPS()
             self.pretrained = self._jax_model.pretrained
+            # self-describing backend tag: "random-vgg" numbers live on a
+            # ~0.007 scale and must never be read against the reference's
+            # pretrained-VGG ~0.53 scale (VERDICT r4 weak #4)
+            self.backend = (
+                "jax-pretrained-vgg" if self.pretrained else "jax-random-vgg"
+            )
 
     def __call__(self, pred: np.ndarray, target: np.ndarray) -> Optional[float]:
         if self._torch_model is not None:  # pragma: no cover - weight cache

@@ -184,6 +184,10 @@ class Trainer:
 
         self.epoch = 0
         self.best_psnr = 0.0
+        # consecutive epochs the dead-sigma probe reported acc == 0
+        # (VERDICT r4 item 4b — annotates runs that sit in the zero-gradient
+        # collapse basin instead of leaving a silent PSNR-1.84 table row)
+        self.dead_sigma_epochs = 0
         self._phase_data: Dict[int, PhaseData] = {}
         self._step_fns: Dict[int, Callable] = {}
         self._np_rng = np.random.default_rng(cfg.seed)
@@ -619,6 +623,39 @@ class Trainer:
         )
         return float(jnp.mean(losses))
 
+    # ------------------------------------------------------------- health
+
+    def dead_sigma_probe(self) -> float:
+        """Max accumulated alpha over one chunk of train-view-0 rays.
+
+        Exactly 0.0 means relu(sigma) was zero at EVERY sampled point of the
+        probe rays — the dead-sigma state where alpha compositing has exactly
+        zero gradient and training can never escape (the reference shares the
+        hazard: relu-sigma compositing, reference volume_renderer.py:32-38 /
+        nerf_mlp.py:193-202; see models/mlp.py sigma_bias_init). Reuses the
+        cached compiled eval-chunk renderer (same cache key as evaluate), so
+        it adds no compiles beyond the eval path's own.
+        """
+        cfg = self.cfg
+        chunk_size = cfg.rendering.chunk_size
+        fn = self._eval_chunk_fn(cfg.phases[-1].n_samples, chunk_size)
+        pd = self.phase_data(self._phase_index(self.epoch))
+        ro = pd.rays_o[0].reshape(-1, 3)
+        rd = pd.rays_d[0].reshape(-1, 3)
+        if ro.shape[0] >= chunk_size:
+            ro, rd = ro[:chunk_size], rd[:chunk_size]
+        else:
+            reps = -(-chunk_size // ro.shape[0])
+            ro = jnp.tile(ro, (reps, 1))[:chunk_size]
+            rd = jnp.tile(rd, (reps, 1))[:chunk_size]
+        feat_map = (
+            self.dino_features[0] if self.use_dino
+            else jnp.zeros((1, 1, 1), jnp.float32)
+        )
+        feat_pose = self.poses[0] if self.use_dino else jnp.eye(4)
+        _, _, acc = fn(self.params, ro, rd, feat_map, feat_pose)
+        return float(jnp.max(acc))
+
     # ------------------------------------------------------------------- eval
 
     def _eval_chunk_fn(self, n_samples: int, chunk_size: int):
@@ -746,6 +783,23 @@ class Trainer:
                 {"epoch": epoch, "train_loss": loss, "lr": self.lr_at(epoch),
                  "rays_per_sec": rate}
             )
+            probe_acc = self.dead_sigma_probe()
+            if probe_acc <= 0.0:
+                self.dead_sigma_epochs += 1
+                print(
+                    f"[DEAD-SIGMA] epoch {epoch}: accumulated alpha is "
+                    f"exactly 0 over the probe chunk — relu(sigma) is zero "
+                    f"at every sampled point, gradients are exactly zero and "
+                    f"training cannot recover ({self.dead_sigma_epochs} "
+                    f"consecutive epoch(s)). Consider nerf_model.sigma_bias: "
+                    f"0.1 or a different seed."
+                )
+                self.logger.log(
+                    {"epoch": epoch, "dead_sigma": True,
+                     "dead_sigma_epochs": self.dead_sigma_epochs}
+                )
+            else:
+                self.dead_sigma_epochs = 0
             if (epoch + 1) % cfg.output.val_freq == 0:
                 dump = os.path.join(cfg.output.save_dir, f"epoch_{epoch}")
                 metrics = self.evaluate(dump_dir=dump)
