@@ -208,7 +208,8 @@ def cmd_bench_scaling(args) -> None:
     from benchmarks.scaling import run_scaling_benchmark
 
     results = run_scaling_benchmark(
-        batch_per_device=args.batch_per_device, n_samples=args.n_samples
+        batch_per_device=args.batch_per_device, n_samples=args.n_samples,
+        iters=args.iters, path=args.path,
     )
     print(json.dumps(results))
 
@@ -269,8 +270,13 @@ def main(argv=None) -> None:
 
     p_scale = sub.add_parser("bench-scaling",
                              help="DP scaling-efficiency benchmark")
-    p_scale.add_argument("--batch-per-device", type=int, default=1024)
+    p_scale.add_argument("--batch-per-device", type=int, default=2048,
+                         help="rays per device (2048 = flagship bench shape)")
     p_scale.add_argument("--n-samples", type=int, default=64)
+    p_scale.add_argument("--iters", type=int, default=20)
+    p_scale.add_argument("--path", choices=("fused", "xla"), default="fused",
+                         help="fused = production shard_map kernel step; "
+                              "xla = legacy render_rays stand-in")
     p_scale.set_defaults(fn=cmd_bench_scaling)
 
     args = parser.parse_args(argv)

@@ -429,7 +429,13 @@ def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
     w0, b0, wh, bh, wout, bout = packed
     R, S = z.shape
     H = w0.shape[1]
-    assert x.shape[0] == R * S and x.shape[1] % 128 == 0 and H % 128 == 0
+    # Full pack validation (ADVICE r4): a mismatched pack must fail with a
+    # clear assert here, not an opaque Mosaic/pallas lowering error.
+    assert x.shape == (R * S, w0.shape[0]), (x.shape, R, S, w0.shape)
+    assert x.shape[1] % 128 == 0 and H % 128 == 0, (x.shape, H)
+    assert dnorm.shape == (R, 1), dnorm.shape
+    assert wh.shape[1:] == (H, H) and bh.shape[1:] == (H,), (
+        wh.shape, bh.shape)
     assert wout.shape == (_head_shapes(H, head_mode)[0])
     D = x.shape[1]
     L1 = wh.shape[0]

@@ -60,6 +60,18 @@ def kernel_gradient_check(tol: float = GRAD_REL_TOL,
     from nerf_fewshot_tpu.render import RenderSettings, render_rays
     from nerf_fewshot_tpu.render.train_kernel import fused_train_loss_grad
 
+    backend = jax.default_backend()
+    if backend not in ("tpu", "axon"):
+        # Fail fast instead of surfacing an opaque Mosaic lowering error:
+        # the bug class this gate exists for (silent bf16 truncation of
+        # in-kernel dots) is only observable where Mosaic actually compiles;
+        # interpret mode's dots are exact f32 and cannot see it.
+        raise RuntimeError(
+            "kernel_gradient_check is a TPU-only gate (current backend: "
+            f"{backend!r}); interpret mode is structurally blind to the "
+            "Mosaic matmul-precision class it detects"
+        )
+
     R, S, H, L, PF, DF = 256, 16, 128, 3, 10, 4
     model = NeRFMLP(pos_freq=PF, dir_freq=DF, use_viewdirs=True,
                     hidden_dim=H, num_layers=L, sigma_bias_init=sigma_bias)

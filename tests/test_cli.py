@@ -100,7 +100,7 @@ def test_evaluate_metrics_carry_lpips_provenance(tmp_path):
     m = tr.evaluate(max_views=1)
     assert "lpips" in m
     assert m["lpips_pretrained"] is False  # no weight cache in this env
-    assert m["lpips_backend"] == "jax"
+    assert m["lpips_backend"] == "jax-random-vgg"
 
 
 def test_enable_compile_cache(tmp_path, monkeypatch):
@@ -128,3 +128,29 @@ def test_enable_compile_cache(tmp_path, monkeypatch):
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", prev_min_secs
         )
+
+
+def test_run_reference_experiment_dry_run(tmp_path, capsys):
+    """tools/run_reference_experiment.py (VERDICT r4 item 7): the committed
+    one-command path to the published README table. Dry-run on the stand-in
+    scene with one variant; the artifact must carry the published columns,
+    the measured columns, and the random-VGG LPIPS caveat."""
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import run_reference_experiment as rre
+
+    rre.main([
+        "--synthetic", "--epochs", "1", "--variants", "baseline",
+        "--max-eval-views", "1", "--out", str(tmp_path),
+    ])
+    table = open(tmp_path / "README_table.md").read()
+    assert "14.71" in table  # published column present
+    assert "DRY RUN" in table
+    assert "random-VGG" in table
+    results = json.load(open(tmp_path / "results.json"))
+    assert results["synthetic"] is True
+    row = results["rows"][0]
+    assert row["config"] == "baseline.yaml"
+    assert row["psnr"] > 0 and "lpips_backend" in row
