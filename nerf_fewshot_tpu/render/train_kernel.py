@@ -67,9 +67,19 @@ def _objective_body(
     w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
     loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
     *, S, white_bkgd, compute_dtype, interleave=1, head_mode="mxu",
+    dw_precision=None,
 ):
     """Shared kernel body: forward → loss partial → analytic backward → dW
     accumulation, for an already-encoded tile input ``x``.
+
+    ``dw_precision``: optional ``jax.lax.Precision`` pin for the six dW
+    accumulation dots (activationsᵀ @ deltas). Mosaic truncates f32 dot
+    inputs to one bf16 pass by default (the round-3/4 bug class); the
+    forward trunk shares that behavior with XLA's own DEFAULT so it is not
+    a divergence source, but the dW accumulations have no XLA twin at the
+    same shapes — HIGHEST here is the diagnostic/conservative option for
+    the spike-state residual gap (VERDICT r4 item 4a; measured on-chip:
+    see RESULTS.md round-5).
 
     ``interleave``: split the tile's rays into this many INDEPENDENT
     sub-chains and walk the trunk layer-by-layer across all of them. The
@@ -100,6 +110,12 @@ def _objective_body(
     K = interleave if R % interleave == 0 else 1
     Rc, Nc = R // K, N // K
     vpu_head = head_mode == "vpu"
+
+    def _dot_dw(a, b):
+        if dw_precision is not None:
+            return jnp.dot(a, b, precision=dw_precision,
+                           preferred_element_type=jnp.float32)
+        return _dot(a, b, compute_dtype)
 
     # ---- forward: layer-interleaved across the K independent sub-chains.
     # K=1 must avoid every slice op (x[0:N] etc. can lower to layout
@@ -231,10 +247,10 @@ def _objective_body(
             for g in g_outs
         ]
     else:
-        dwout_acc = _dot(acts[0][-1].T, g_outs[0], compute_dtype)
+        dwout_acc = _dot_dw(acts[0][-1].T, g_outs[0])
         dbout_acc = jnp.sum(g_outs[0], axis=0, keepdims=True)
         for k in range(1, K):
-            dwout_acc += _dot(acts[k][-1].T, g_outs[k], compute_dtype)
+            dwout_acc += _dot_dw(acts[k][-1].T, g_outs[k])
             dbout_acc += jnp.sum(g_outs[k], axis=0, keepdims=True)
         dwout_ref[:] += dwout_acc
         dbout_ref[:] += dbout_acc
@@ -245,10 +261,10 @@ def _objective_body(
             g * (acts[k][l + 2] > 0.0).astype(z.dtype)
             for k, g in enumerate(g_hs)
         ]
-        dwh_acc = _dot(acts[0][l + 1].T, g_hs[0], compute_dtype)
+        dwh_acc = _dot_dw(acts[0][l + 1].T, g_hs[0])
         dbh_acc = jnp.sum(g_hs[0], axis=0, keepdims=True)
         for k in range(1, K):
-            dwh_acc += _dot(acts[k][l + 1].T, g_hs[k], compute_dtype)
+            dwh_acc += _dot_dw(acts[k][l + 1].T, g_hs[k])
             dbh_acc += jnp.sum(g_hs[k], axis=0, keepdims=True)
         dwh_ref[l] += dwh_acc
         dbh_ref[l] += dbh_acc[0]
@@ -257,10 +273,10 @@ def _objective_body(
     g_hs = [
         g * (acts[k][1] > 0.0).astype(z.dtype) for k, g in enumerate(g_hs)
     ]
-    dw0_acc = _dot(acts[0][0].T, g_hs[0], compute_dtype)
+    dw0_acc = _dot_dw(acts[0][0].T, g_hs[0])
     db0_acc = jnp.sum(g_hs[0], axis=0, keepdims=True)
     for k in range(1, K):
-        dw0_acc += _dot(acts[k][0].T, g_hs[k], compute_dtype)
+        dw0_acc += _dot_dw(acts[k][0].T, g_hs[k])
         db0_acc += jnp.sum(g_hs[k], axis=0, keepdims=True)
     dw0_ref[:] += dw0_acc
     db0_ref[:] += db0_acc
@@ -271,6 +287,7 @@ def _train_kernel(
     w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
     loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
     *, S, white_bkgd, compute_dtype, interleave=1, head_mode="mxu",
+    dw_precision=None,
 ):
     _objective_body(
         x_ref[:], z_ref, dnorm_ref, tgt_ref, mask_ref, invd_ref,
@@ -278,6 +295,7 @@ def _train_kernel(
         loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
         S=S, white_bkgd=white_bkgd, compute_dtype=compute_dtype,
         interleave=interleave, head_mode=head_mode,
+        dw_precision=dw_precision,
     )
 
 
@@ -287,7 +305,7 @@ def _train_pe_kernel(
     w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
     loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
     *, S, white_bkgd, compute_dtype, use_feats, x_pad, interleave=1,
-    head_mode="mxu",
+    head_mode="mxu", dw_precision=None,
 ):
     """Inline-PE variant: raw per-point inputs (pts[, dirs]) arrive as a thin
     (N, n_raw) block and the positional encoding is built in VMEM — the
@@ -314,6 +332,7 @@ def _train_pe_kernel(
         loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
         S=S, white_bkgd=white_bkgd, compute_dtype=compute_dtype,
         interleave=interleave, head_mode=head_mode,
+        dw_precision=dw_precision,
     )
 
 
@@ -340,7 +359,7 @@ def _to_vpu_head(wout, bout):
 
 def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
                    packed, white_bkgd, interpret, compute_dtype, use_feats,
-                   interleave=1, head_mode="mxu"):
+                   interleave=1, head_mode="mxu", dw_precision=None):
     w0, b0, wh, bh, wout, bout = packed
     R, S = z.shape
     N, n_raw = raw.shape
@@ -369,6 +388,7 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
         _train_pe_kernel, S=S, white_bkgd=white_bkgd,
         compute_dtype=compute_dtype, use_feats=use_feats, x_pad=D,
         interleave=interleave, head_mode=head_mode,
+        dw_precision=dw_precision,
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -425,7 +445,8 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
 
 
 def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
-                interpret, compute_dtype, interleave=1, head_mode="mxu"):
+                interpret, compute_dtype, interleave=1, head_mode="mxu",
+                dw_precision=None):
     w0, b0, wh, bh, wout, bout = packed
     R, S = z.shape
     H = w0.shape[1]
@@ -453,7 +474,7 @@ def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
     kernel = functools.partial(
         _train_kernel, S=S, white_bkgd=white_bkgd,
         compute_dtype=compute_dtype, interleave=interleave,
-        head_mode=head_mode,
+        head_mode=head_mode, dw_precision=dw_precision,
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -524,6 +545,7 @@ def fused_train_loss_grad(
     inline_pe: bool = True,
     interleave: Optional[int] = None,
     head_mode: Optional[str] = None,
+    dw_precision=None,
 ) -> Tuple[jnp.ndarray, dict]:
     """(masked-MSE loss, param-gradient tree) in one fused kernel pass.
 
@@ -543,6 +565,8 @@ def fused_train_loss_grad(
     renderer this saves the standalone fine forward entirely.
     """
     assert settings.noise_std == 0.0
+    if isinstance(dw_precision, str):
+        dw_precision = jax.lax.Precision(dw_precision)
     if interleave is None:
         interleave = TRAIN_INTERLEAVE
     if head_mode is None:
@@ -632,6 +656,7 @@ def fused_train_loss_grad(
             jnp.asarray(e2), jnp.asarray(c), packed, settings.white_bkgd,
             interpret, compute_dtype, use_feats=dino is not None,
             interleave=interleave, head_mode=head_mode,
+            dw_precision=dw_precision,
         )
         grads = pack_vjp(dpacked)[0]
         return loss, grads
@@ -642,7 +667,7 @@ def fused_train_loss_grad(
     loss, dpacked = _train_call(
         x, z, dnorm, target, mask[:, None], inv_denom, packed,
         settings.white_bkgd, interpret, compute_dtype, interleave=interleave,
-        head_mode=head_mode,
+        head_mode=head_mode, dw_precision=dw_precision,
     )
     grads = pack_vjp(dpacked)[0]
     return loss, grads

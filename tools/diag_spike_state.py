@@ -74,6 +74,15 @@ for view in range(len(tr.poses)):
         NL, HD, use_viewdirs=UV, point_features_fn=pf,
         interpret=bool(os.environ.get('DIAG_CPU'))))(tr.params)
 
+    # dW-accumulation-HIGHEST variant (VERDICT r4 item 4a): isolates whether
+    # the residual spike-state kernel-vs-XLA gap lives in the bf16-truncated
+    # activationsᵀ@deltas dW dots.
+    lh, gh = jax.jit(lambda p: fused_train_loss_grad(
+        p, rays_o, rays_d, target, mask, settings, POS_FREQ, DIR_FREQ,
+        NL, HD, use_viewdirs=UV, point_features_fn=pf,
+        dw_precision='highest',
+        interpret=bool(os.environ.get('DIAG_CPU'))))(tr.params)
+
     def loss_fn(p):
         def model_fn(pts, dirs, dino):
             return tr.model.apply({"params": p}, pts, dirs, dino)
@@ -83,13 +92,18 @@ for view in range(len(tr.poses)):
 
     lx, gx = jax.jit(jax.value_and_grad(loss_fn))(tr.params)
     fk = np.asarray(jax.flatten_util.ravel_pytree(gk)[0], np.float64)
+    fh = np.asarray(jax.flatten_util.ravel_pytree(gh)[0], np.float64)
     fx = np.asarray(jax.flatten_util.ravel_pytree(gx)[0], np.float64)
     rel = np.linalg.norm(fk - fx) / max(np.linalg.norm(fx), 1e-30)
+    rel_h = np.linalg.norm(fh - fx) / max(np.linalg.norm(fx), 1e-30)
     # per-head breakdown
-    def head_rel(name):
-        a = np.asarray(jax.flatten_util.ravel_pytree(gk[name])[0], np.float64)
+    def head_rel(g, name):
+        a = np.asarray(jax.flatten_util.ravel_pytree(g[name])[0], np.float64)
         b = np.asarray(jax.flatten_util.ravel_pytree(gx[name])[0], np.float64)
         return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
     print(f"view {view}: loss_k={float(lk):.6f} loss_x={float(lx):.6f} "
-          f"grad_rel={rel:.3e} sigma_head={head_rel('sigma_head'):.3e} "
-          f"rgb_head={head_rel('rgb_head'):.3e}", flush=True)
+          f"grad_rel={rel:.3e} grad_rel_dwHIGHEST={rel_h:.3e} "
+          f"sigma_head={head_rel(gk, 'sigma_head'):.3e}"
+          f"->{head_rel(gh, 'sigma_head'):.3e} "
+          f"rgb_head={head_rel(gk, 'rgb_head'):.3e}"
+          f"->{head_rel(gh, 'rgb_head'):.3e}", flush=True)
