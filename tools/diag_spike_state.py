@@ -107,3 +107,12 @@ for view in range(len(tr.poses)):
           f"->{head_rel(gh, 'sigma_head'):.3e} "
           f"rgb_head={head_rel(gk, 'rgb_head'):.3e}"
           f"->{head_rel(gh, 'rgb_head'):.3e}", flush=True)
+
+    # DIAG_SAVE=<prefix>: dump the flattened gradient vectors so runs on
+    # different platforms can be cross-compared against CPU-f32 truth
+    # (e.g. TPU kernel vs TPU XLA vs CPU-XLA — are both on-chip paths
+    # equidistant from the exact-f32 result, or is one directionally off?)
+    save = os.environ.get('DIAG_SAVE')
+    if save:
+        np.savez(f"{save}_view{view}.npz", kernel=fk, kernel_dwh=fh, xla=fx,
+                 loss_k=float(lk), loss_x=float(lx))

@@ -102,6 +102,10 @@ def run_one(name: str, tag: str) -> dict:
         "best_epoch_metrics": best,
         "final_rays_per_sec": rate,
         "wall_s": round(wall, 1),
+        # run ended in the exactly-zero-gradient collapse basin for this
+        # many consecutive trailing epochs (trainer dead-sigma probe) —
+        # variant-table rows must carry this annotation (VERDICT r4 #4)
+        "dead_sigma_epochs": final.get("dead_sigma_epochs", 0),
     }
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
