@@ -239,3 +239,15 @@ def test_fwd_pe_kernel_matches_canonical_forward():
     for a, b, name in zip(want, got, ("rgb", "depth", "acc", "weights")):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4,
                                    atol=1e-5, err_msg=name)
+
+
+def test_kernel_gradient_check_fails_fast_off_tpu():
+    """ADVICE r4: on a CPU backend the on-chip numerics gate must raise a
+    clear TPU-only error, not an opaque Mosaic lowering failure (interpret
+    mode is structurally blind to the bug class it detects)."""
+    import pytest
+
+    from nerf_fewshot_tpu.render.verify import kernel_gradient_check
+
+    with pytest.raises(RuntimeError, match="TPU-only"):
+        kernel_gradient_check()
