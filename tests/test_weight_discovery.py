@@ -114,7 +114,7 @@ def test_lpips_discovery_chain(tmp_path, monkeypatch):
                               gt_samples=32)
     m = Trainer(cfg, train, test).evaluate(max_views=1)
     assert m["lpips_pretrained"] is True
-    assert m["lpips_backend"] == "jax"
+    assert m["lpips_backend"] == "jax-pretrained-vgg"
 
 
 def _partial_dinov2_sd(hidden=768, patch=14, seed=77):
