@@ -125,8 +125,19 @@ def main() -> None:
     args = p.parse_args()
     only = set(args.configs.split(",")) if args.configs else None
 
+    run_list = list(CONFIGS)
+    if only:
+        known = {name for name, _ in CONFIGS}
+        for extra in sorted(only - known):
+            # ad-hoc variant configs (e.g. script_baseline_live) are fair
+            # game as long as experiments/<name>.yaml exists
+            path = os.path.join(REPO, "experiments", f"{extra}.yaml")
+            if not os.path.exists(path):
+                raise SystemExit(f"--configs {extra}: no {path}")
+            run_list.append((extra, f"ad-hoc variant ({extra}.yaml)"))
+
     results = []
-    for name, analog in CONFIGS:
+    for name, analog in run_list:
         if only and name not in only:
             continue
         print(f"=== {name} ({analog}) ===", flush=True)
@@ -140,8 +151,19 @@ def main() -> None:
     table_path = os.path.join(
         REPO, "artifacts", f"{args.tag}_variant_table.json"
     )
+    # Merge-by-name so a subset run (--configs) updates its rows without
+    # clobbering the rest of an existing aggregate.
+    merged = {}
+    if os.path.exists(table_path):
+        try:
+            with open(table_path) as f:
+                merged = {r["name"]: r for r in json.load(f) if "name" in r}
+        except (json.JSONDecodeError, TypeError):
+            merged = {}
+    for r in results:
+        merged[r["name"]] = r
     with open(table_path, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(list(merged.values()), f, indent=2)
         f.write("\n")
     print(f"wrote {table_path}")
 
