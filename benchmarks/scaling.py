@@ -79,10 +79,14 @@ def _build_fused_step(mesh, tx, settings, interpret):
 def run_scaling_benchmark(
     batch_per_device: int = 2048,
     n_samples: int = 64,
-    iters: int = 20,
+    iters: int = 100,
     device_counts: Optional[List[int]] = None,
     path: str = "fused",
 ) -> Dict:
+    # iters=100 matches bench.py: each timing window ends in ONE full sync
+    # whose tunnel round-trip is fixed cost — at 20 iters it inflated the
+    # per-step time ~25% (measured: 417K vs 552K rays/s in the same chip
+    # state); at 100 iters the window amortizes it to noise level.
     n_avail = len(jax.devices())
     if device_counts is None:
         device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_avail]

@@ -273,7 +273,10 @@ def main(argv=None) -> None:
     p_scale.add_argument("--batch-per-device", type=int, default=2048,
                          help="rays per device (2048 = flagship bench shape)")
     p_scale.add_argument("--n-samples", type=int, default=64)
-    p_scale.add_argument("--iters", type=int, default=20)
+    p_scale.add_argument("--iters", type=int, default=100,
+                         help="steps per timing window (matches bench.py; "
+                              "short windows under-amortize the tunnel's "
+                              "end-of-window sync round-trip)")
     p_scale.add_argument("--path", choices=("fused", "xla"), default="fused",
                          help="fused = production shard_map kernel step; "
                               "xla = legacy render_rays stand-in")
