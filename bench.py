@@ -71,7 +71,7 @@ def bench_jax_inference(n_rays: int = 2048) -> float:
             out = fused_render_rays(
                 params, rays_o, rays_d, settings,
                 POS_FREQ, DIR_FREQ, N_LAYERS, HIDDEN,
-                forward_only=True, tile_rays=16,
+                forward_only=True, tile_rays=64,
             )
         else:
             def model_fn(pts, dirs, dino):
