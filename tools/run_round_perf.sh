@@ -2,10 +2,12 @@
 # Round perf session: post-fix headline re-measurement, the head-mode lever,
 # tile-sweep re-validation, hierarchical + inference numbers, and the
 # real-chip single-device scaling anchor. Run AFTER the science runner (one
-# chip; serialize). Results append to artifacts/round4_perf/perf.jsonl.
+# chip; serialize). Results append to artifacts/<tag>_perf/perf.jsonl.
+# Usage: tools/run_round_perf.sh [tag]   (default round5)
 set -u
 cd "$(dirname "$0")/.."
-OUT=artifacts/round4_perf
+TAG=${1:-round5}
+OUT=artifacts/${TAG}_perf
 mkdir -p "$OUT"
 LOG="$OUT/perf.jsonl"
 
