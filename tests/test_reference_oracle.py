@@ -385,3 +385,69 @@ def test_reference_evaluate_py_truncated():
     src = open(path).read()
     with pytest.raises(SyntaxError):
         compile(src, path, "exec")
+
+
+# ------------------------------------------------------------ module stack
+
+
+def _put(params, name, lin):
+    params[name]["kernel"] = jnp.asarray(
+        lin.weight.detach().numpy().T)
+    params[name]["bias"] = jnp.asarray(lin.bias.detach().numpy())
+
+
+def test_density_mlp_vs_reference_transplanted():
+    """DensityMLP parity against the reference's own class
+    (nerf_mlp.py:41-66): ReLU trunk -> relu'd density head + feature head."""
+    import flax
+
+    from nerf_fewshot_tpu.models.mlp import DensityMLP
+
+    nm = ref.load("nerf_mlp")
+    torch.manual_seed(3)
+    tm = nm.DensityMLP(input_dim=63, hidden_dim=64, num_layers=3)
+
+    model = DensityMLP(hidden_dim=64, num_layers=3)
+    params = flax.core.unfreeze(
+        model.init(jax.random.key(0), jnp.zeros((1, 63)))["params"]
+    )
+    for i in range(3):
+        _put(params, f"layer_{i}", tm.density_layers[2 * i])
+    _put(params, "density_head", tm.density_head)
+    _put(params, "feature_head", tm.feature_head)
+
+    x = RNG.standard_normal((20, 63)).astype(np.float32)
+    with torch.no_grad():
+        want_d, want_f = tm(torch.from_numpy(x))
+    got_d, got_f = model.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(to_np(got_d), want_d.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(to_np(got_f), want_f.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_color_mlp_vs_reference_transplanted():
+    """ColorMLP parity against the reference's own class
+    (nerf_mlp.py:68-84): [features || dir_enc] -> 2 hidden -> sigmoid RGB."""
+    import flax
+
+    from nerf_fewshot_tpu.models.mlp import ColorMLP
+
+    nm = ref.load("nerf_mlp")
+    torch.manual_seed(4)
+    tm = nm.ColorMLP(feature_dim=64, dir_dim=27, hidden_dim=32)
+
+    model = ColorMLP(hidden_dim=32)
+    params = flax.core.unfreeze(
+        model.init(
+            jax.random.key(0), jnp.zeros((1, 64)), jnp.zeros((1, 27))
+        )["params"]
+    )
+    _put(params, "layer_0", tm.color_layers[0])
+    _put(params, "layer_1", tm.color_layers[2])
+    _put(params, "rgb", tm.color_layers[4])
+
+    feats = RNG.standard_normal((20, 64)).astype(np.float32)
+    dirs = RNG.standard_normal((20, 27)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(feats), torch.from_numpy(dirs))
+    got = model.apply({"params": params}, jnp.asarray(feats), jnp.asarray(dirs))
+    np.testing.assert_allclose(to_np(got), want.numpy(), rtol=1e-4, atol=1e-5)
