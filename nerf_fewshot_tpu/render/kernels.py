@@ -62,7 +62,25 @@ def _tri_after(S: int, dtype) -> jnp.ndarray:
 
 def _dot(a, b, compute_dtype):
     """Matmul with f32 accumulation; optionally bf16 inputs (single-pass MXU
-    instead of the 3-pass f32 decomposition — ~3× the matmul rate)."""
+    instead of the 3-pass f32 decomposition — ~3× the matmul rate).
+
+    ``compute_dtype``:
+      * ``"float32"`` (default) — Mosaic still truncates the inputs to ONE
+        bf16 pass per dot (the documented in-kernel semantic), matching
+        XLA's own TPU DEFAULT matmul behavior. This is the perf mode.
+      * ``"bfloat16"`` — explicit bf16 casts; numerically identical to
+        float32-DEFAULT on TPU (pinned by tests/test_tpu_numerics.py).
+      * ``"highest"`` — exact-f32 dots (``Precision.HIGHEST`` 3-pass
+        decomposition) on EVERY in-kernel matmul. ~2-3× step time; the
+        kernel then computes the same function as CPU-f32, which matters
+        at knife-edge states where both bf16 paths sit far from the f32
+        function (RESULTS.md round-5 equidistance measurement). Use for
+        debugging/verification, or recipes whose training dynamics are
+        chaos-sensitive to matmul rounding.
+    """
+    if compute_dtype == "highest":
+        return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
     if compute_dtype == "bfloat16":
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)

@@ -443,7 +443,9 @@ _VALID = {
     "dino.projection": {"reference", "script"},
     "nerf.arch": {"functional", "module"},
     "rendering.backend": {"auto", "fused", "xla"},
-    "rendering.compute_dtype": {"float32", "bfloat16"},
+    # "highest" = exact-f32 in-kernel dots (~2-3x step time; see
+    # render/kernels._dot) for knife-edge-sensitive recipes/debugging
+    "rendering.compute_dtype": {"float32", "bfloat16", "highest"},
     "optimizer.kind": {"adam", "adamw"},
     "output.log_format": {"jsonl", "csv"},
 }

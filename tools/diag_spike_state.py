@@ -69,9 +69,14 @@ for view in range(len(tr.poses)):
                           invalid_fill=cfg.dino.invalid_fill,
                           projection=cfg.dino.projection)
 
+    # DIAG_COMPUTE=highest runs the kernel in exact-f32 dot mode (the
+    # round-5 compute_dtype option) — on chip its gradients should land at
+    # CPU-f32-truth distance ~1e-6 instead of the bf16 paths' 1e-2..4e-1.
+    compute = os.environ.get('DIAG_COMPUTE', 'float32')
     lk, gk = jax.jit(lambda p: fused_train_loss_grad(
         p, rays_o, rays_d, target, mask, settings, POS_FREQ, DIR_FREQ,
         NL, HD, use_viewdirs=UV, point_features_fn=pf,
+        compute_dtype=compute,
         interpret=bool(os.environ.get('DIAG_CPU'))))(tr.params)
 
     # dW-accumulation-HIGHEST variant (VERDICT r4 item 4a): isolates whether
