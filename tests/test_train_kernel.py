@@ -352,3 +352,36 @@ def test_train_kernel_vpu_head_hierarchical_and_features():
                     jax.tree_util.tree_leaves(got[1])):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_compute_dtype_highest_interpret_bit_equal():
+    """compute_dtype='highest' (exact-f32 in-kernel dots, round 5) must be
+    bit-identical to the default in interpret mode (interpret dots are
+    exact either way) — pins the plumbing; the on-chip semantics are
+    covered by the RESULTS round-5 addendum measurements."""
+    import jax.flatten_util
+
+    model = NeRFMLP(pos_freq=10, dir_freq=4, use_viewdirs=True,
+                    hidden_dim=128, num_layers=3)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )["params"]
+    rng = np.random.default_rng(2)
+    R, S = 32, 16
+    ro = jnp.asarray(rng.standard_normal((R, 3)).astype(np.float32))
+    rd = jnp.asarray(rng.standard_normal((R, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(0, 1, (R, 3)).astype(np.float32))
+    mask = jnp.ones((R,))
+    st = RenderSettings(near=2.0, far=6.0, n_samples=S, perturb=False)
+
+    l1, g1 = fused_train_loss_grad(
+        params, ro, rd, tgt, mask, st, 10, 4, 3, 128, interpret=True
+    )
+    l2, g2 = fused_train_loss_grad(
+        params, ro, rd, tgt, mask, st, 10, 4, 3, 128, interpret=True,
+        compute_dtype="highest",
+    )
+    assert float(l1) == float(l2)
+    a = jax.flatten_util.ravel_pytree(g1)[0]
+    b = jax.flatten_util.ravel_pytree(g2)[0]
+    assert float(jnp.max(jnp.abs(a - b))) == 0.0
