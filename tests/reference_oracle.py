@@ -50,6 +50,12 @@ _MODULE_PATHS = {
     "nerf_mlp": "src/models/nerf_mlp.py",
     "nerf_model": "src/models/nerf_model.py",
     "data_loader": "src/models/data_loader.py",
+    # imports transformers at module level (present in this image; no
+    # network touched at import time). Loading it also registers the BARE
+    # name ``lora_dino`` so nerf_mlp.NeRFWithDINO's lazy sibling import
+    # (nerf_mlp.py:110) resolves — the reference expects src/models on
+    # sys.path (SURVEY §0.3); we satisfy just that one name instead.
+    "lora_dino": "src/models/lora_dino.py",
 }
 
 _cache: dict = {}
@@ -145,5 +151,7 @@ def load(name: str):
     except Exception as exc:  # pragma: no cover - environment-dependent
         _cache[name] = exc
         pytest.skip(f"reference module {name} failed to import: {exc}")
+    if name == "lora_dino":
+        sys.modules.setdefault("lora_dino", mod)
     _cache[name] = mod
     return mod
