@@ -114,6 +114,16 @@ def _ensure_torchvision_shim() -> None:
     transforms.ToTensor = ToTensor
     transforms.Compose = Compose
     tv.transforms = transforms
+    # a registered module with __spec__ = None breaks later
+    # importlib.util.find_spec("torchvision") probes (e.g. transformers'
+    # availability check raises "torchvision.__spec__ is None") — give the
+    # shim a real ModuleSpec; version metadata still does not exist, so
+    # probers that also check importlib.metadata treat it as absent.
+    import importlib.machinery
+
+    tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
+    transforms.__spec__ = importlib.machinery.ModuleSpec(
+        "torchvision.transforms", None)
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.transforms"] = transforms
 
