@@ -507,3 +507,39 @@ def test_nerf_with_dino_full_stack_vs_reference():
     np.testing.assert_allclose(
         to_np(g), dino_t.grad.numpy(), rtol=1e-3, atol=1e-4
     )
+
+
+def test_lora_linear_vs_reference_transplanted():
+    """LoRA layer math against the reference's OWN LoRALinear
+    (lora_dino.py:7-32): out = original(x) + (alpha/rank) * B(dropout(A(x))),
+    eval mode (dropout off), with a randomized B so the update is live."""
+    import flax
+    import torch.nn as tnn
+
+    from nerf_fewshot_tpu.models.lora import LoRADense
+
+    ld = ref.load("lora_dino")
+    torch.manual_seed(12)
+    base = tnn.Linear(16, 24)
+    tm = ld.LoRALinear(base, rank=4, alpha=16)
+    tnn.init.normal_(tm.lora_B.weight)  # B=0 would hide the LoRA term
+    tm.eval()
+
+    model = LoRADense(features=24, rank=4, alpha=16.0)
+    params = flax.core.unfreeze(
+        model.init(jax.random.key(0), jnp.zeros((1, 16)))["params"]
+    )
+    _put(params, "base", tm.original)
+    params["lora_a"] = jnp.asarray(tm.lora_A.weight.detach().numpy().T)
+    params["lora_b"] = jnp.asarray(tm.lora_B.weight.detach().numpy().T)
+
+    x = RNG.standard_normal((25, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x))
+    got = model.apply({"params": params}, jnp.asarray(x), deterministic=True)
+    np.testing.assert_allclose(to_np(got), want.numpy(), rtol=1e-4, atol=1e-5)
+
+    # the LoRA term is actually live in this comparison
+    with torch.no_grad():
+        base_only = tm.original(torch.from_numpy(x))
+    assert float((want - base_only).abs().max()) > 1e-3
