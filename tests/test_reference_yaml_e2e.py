@@ -23,7 +23,9 @@ from nerf_fewshot_tpu.cli import _load_datasets, _precompute_features
 from nerf_fewshot_tpu.training.config import load_config
 from nerf_fewshot_tpu.training.trainer import Trainer
 
-REF_EXPERIMENTS = "/root/reference/experiments"
+REF_EXPERIMENTS = os.path.join(
+    os.environ.get("NERF_REFERENCE_PATH", "/root/reference"), "experiments"
+)
 
 REFERENCE_YAMLS = ["baseline", "dino_nerf", "lora", "multiscale", "projection"]
 

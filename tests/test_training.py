@@ -29,7 +29,9 @@ from nerf_fewshot_tpu.training.optim import (
 from nerf_fewshot_tpu.training.config import OptimizerConfig
 from nerf_fewshot_tpu.utils.checkpoint import save_checkpoint, restore_checkpoint
 
-REF_EXPERIMENTS = "/root/reference/experiments"
+REF_EXPERIMENTS = os.path.join(
+    os.environ.get("NERF_REFERENCE_PATH", "/root/reference"), "experiments"
+)
 RNG = np.random.default_rng(7)
 
 
