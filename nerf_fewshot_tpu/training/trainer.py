@@ -715,6 +715,55 @@ class Trainer:
         acc = jnp.concatenate(accs)[:n].reshape(self.H, self.W)
         return np.asarray(rgb), np.asarray(depth), np.asarray(acc)
 
+    def render_views(
+        self, poses, n_samples: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batched multi-pose render: all poses' rays stream through ONE
+        sequence of cached compiled chunk calls instead of V separate
+        ``render_view`` invocations — V× fewer dispatch/sync round-trips,
+        which matters for serving through a remote runtime (and for the
+        test-split eval loop). Returns (V, H, W[, 3]) rgb / depth / acc.
+
+        Reuses ``_eval_chunk_fn``'s cache (same chunk_size key), so no new
+        compiles versus ``render_view``.
+        """
+        cfg = self.cfg
+        if n_samples is None:
+            n_samples = cfg.phases[-1].n_samples
+        chunk_size = cfg.rendering.chunk_size
+        fn = self._eval_chunk_fn(n_samples, chunk_size)
+        V = len(poses)
+        per = self.H * self.W
+        ros, rds = [], []
+        for pose in poses:
+            ro, rd = get_rays(self.H, self.W, self.focal, jnp.asarray(pose))
+            ros.append(ro.reshape(-1, 3))
+            rds.append(rd.reshape(-1, 3))
+        ro = jnp.concatenate(ros)
+        rd = jnp.concatenate(rds)
+        n = V * per
+        pad = (-n) % chunk_size
+        if pad:
+            ro = jnp.concatenate([ro, jnp.broadcast_to(ro[-1:], (pad, 3))])
+            rd = jnp.concatenate([rd, jnp.broadcast_to(rd[-1:], (pad, 3))])
+        feat_map = (
+            self.dino_features[0] if self.use_dino
+            else jnp.zeros((1, 1, 1), jnp.float32)
+        )
+        feat_pose = self.poses[0] if self.use_dino else jnp.eye(4)
+        rgbs, depths, accs = [], [], []
+        for c in range(ro.shape[0] // chunk_size):
+            sl = slice(c * chunk_size, (c + 1) * chunk_size)
+            rgb, depth, acc = fn(self.params, ro[sl], rd[sl], feat_map,
+                                 feat_pose)
+            rgbs.append(rgb)
+            depths.append(depth)
+            accs.append(acc)
+        rgb = jnp.concatenate(rgbs)[:n].reshape(V, self.H, self.W, 3)
+        depth = jnp.concatenate(depths)[:n].reshape(V, self.H, self.W)
+        acc = jnp.concatenate(accs)[:n].reshape(V, self.H, self.W)
+        return np.asarray(rgb), np.asarray(depth), np.asarray(acc)
+
     def evaluate(
         self, max_views: Optional[int] = None, dump_dir: Optional[str] = None
     ) -> Dict[str, float]:
@@ -730,8 +779,13 @@ class Trainer:
             max_views, self.test_data.n_views
         )
         all_psnr, all_ssim, all_lpips = [], [], []
+        # one batched chunk stream over every eval view's rays (V× fewer
+        # dispatch round-trips than per-view render_view calls)
+        rendered, _, _ = self.render_views(
+            [self.test_data.poses[i] for i in range(n)]
+        )
         for i in range(n):
-            rgb_np, _, _ = self.render_view(self.test_data.poses[i])
+            rgb_np = rendered[i]
             pred = jnp.asarray(rgb_np)
             tgt = jnp.asarray(test_targets[i])
             all_psnr.append(float(psnr(pred, tgt)))

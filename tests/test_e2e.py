@@ -205,3 +205,22 @@ def test_fused_eval_matches_xla_eval(scene_data, tmp_path, monkeypatch):
     m_xla = tr_xla.evaluate(max_views=1)
     assert abs(m_fused["psnr"] - m_xla["psnr"]) < 1e-2, (m_fused, m_xla)
     assert abs(m_fused["ssim"] - m_xla["ssim"]) < 1e-3, (m_fused, m_xla)
+
+
+def test_render_views_matches_render_view(scene_data, tmp_path):
+    """Batched multi-pose serving render (round 5): render_views must equal
+    stacking per-view render_view outputs exactly (same compiled chunk fn,
+    same chunking math), across a chunk boundary that does not divide a
+    single view's rays evenly."""
+    train, test = scene_data
+    cfg = small_config(tmp_path, epochs=1)
+    tr = Trainer(cfg, train, test)
+    tr.train_epoch(0)
+
+    poses = [train.poses[0], train.poses[1], train.poses[2]]
+    batched_rgb, batched_depth, batched_acc = tr.render_views(poses)
+    for i, pose in enumerate(poses):
+        rgb, depth, acc = tr.render_view(pose)
+        np.testing.assert_array_equal(batched_rgb[i], rgb)
+        np.testing.assert_array_equal(batched_depth[i], depth)
+        np.testing.assert_array_equal(batched_acc[i], acc)
