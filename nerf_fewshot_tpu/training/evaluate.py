@@ -45,15 +45,16 @@ def generate_orbit_poses(
 def novel_view_synthesis(trainer, out_dir: str, n_orbit: int = 8) -> List[str]:
     """Render an orbit of novel views; returns saved image paths.
 
-    Routes through ``trainer.render_view`` so it uses the configured render
-    backend (fused forward kernel on TPU), the cached compiled chunk
-    renderer, and the eval-time view-0 feature quirk automatically."""
+    Routes through ``trainer.render_views`` (batched: one chunk stream over
+    the whole orbit) so it uses the configured render backend (fused forward
+    kernel on TPU), the cached compiled chunk renderer, and the eval-time
+    view-0 feature quirk automatically."""
     poses = generate_orbit_poses(n_orbit)
+    rgbs, _, _ = trainer.render_views(list(poses))
     paths = []
-    for i, pose in enumerate(poses):
-        rgb, _, _ = trainer.render_view(pose)
+    for i in range(len(poses)):
         p = os.path.join(out_dir, f"novel_{i:02d}.png")
-        save_png(p, np.clip(rgb, 0, 1))
+        save_png(p, np.clip(rgbs[i], 0, 1))
         paths.append(p)
     return paths
 
@@ -114,10 +115,13 @@ def depth_statistics(trainer, max_views: int = 3, out_dir: str = None) -> Dict:
         return {"available": False}
     stats = []
     n = min(max_views, trainer.test_data.n_views)
+    # batched: configured backend + cached compiled chunks + the
+    # eval-time view-0 feature quirk (train.py:204-213)
+    _, depths, accs = trainer.render_views(
+        [trainer.test_data.poses[i] for i in range(n)]
+    )
     for i in range(n):
-        # render_view: configured backend + cached compiled chunks + the
-        # eval-time view-0 feature quirk (train.py:204-213)
-        _, d, acc = trainer.render_view(trainer.test_data.poses[i])
+        d, acc = depths[i], accs[i]
         fg = acc > 0.5
         if out_dir is not None:
             from nerf_fewshot_tpu.utils.plots import (
