@@ -169,3 +169,39 @@ def test_scaling_benchmark_fused_path_harness():
                              ro, rd, tgt, mask)
         losses[nd] = float(loss)
     np.testing.assert_allclose(losses[4], losses[1], rtol=1e-5)
+
+
+def test_trainer_eval_and_render_views_under_mesh(tmp_path):
+    """Eval rendering (incl. the batched render_views path) must work with
+    an active DP mesh: params live as replicated NamedSharding arrays and
+    the unsharded eval chunk fn consumes them directly."""
+    from nerf_fewshot_tpu.data import lego_like_scene, make_scene_dataset
+    from nerf_fewshot_tpu.training.config import config_from_dict
+    from nerf_fewshot_tpu.training.trainer import Trainer
+
+    scene = lego_like_scene()
+    train = make_scene_dataset(scene, n_views=3, img_size=24, gt_samples=64)
+    test = make_scene_dataset(scene, n_views=2, img_size=24, gt_samples=64,
+                              split="test")
+    cfg = config_from_dict({
+        "experiment": {"name": "mesh-eval"},
+        "data": {"resolution": 24, "num_views": 3, "near": 2.0, "far": 6.0},
+        "nerf_model": {"pos_freq": 6, "dir_freq": 2, "hidden_dim": 32,
+                       "num_layers": 2, "sigma_bias": 0.1},
+        "training": {"epochs": 1, "batch_size": 256,
+                     "progressive_schedule": {
+                         "epochs_0_50": [24, 24, 16],
+                         "epochs_50_100": [24, 24, 16],
+                         "epochs_100_plus": [24, 24, 16]}},
+        "rendering": {"chunk_size": 192, "white_bkgd": True},
+        "output": {"save_dir": str(tmp_path), "val_freq": 100,
+                   "save_freq": 100},
+    })
+    tr = Trainer(cfg, train, test, mesh=make_mesh(8),
+                 log_path=str(tmp_path / "log.jsonl"))
+    loss = tr.train_epoch(0)
+    assert np.isfinite(loss)
+    m = tr.evaluate()
+    assert np.isfinite(m["psnr"])
+    rgb, depth, acc = tr.render_views([test.poses[0], test.poses[1]])
+    assert rgb.shape == (2, 24, 24, 3) and np.all(np.isfinite(rgb))
