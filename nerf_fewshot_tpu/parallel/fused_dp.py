@@ -34,6 +34,7 @@ def make_dp_fused_loss_grad(
     compute_dtype: str = "float32",
     axis_name: str = "data",
     point_features_builder=None,
+    reg_weight: float = 0.0,
 ):
     """Build ``(params, key, rays_o, rays_d, target, mask) -> (loss, grads)``
     with the ray batch sharded over ``mesh`` and replicated outputs.
@@ -61,6 +62,7 @@ def make_dp_fused_loss_grad(
             use_viewdirs=use_viewdirs, lora_alpha=lora_alpha, key=key,
             interpret=interpret, compute_dtype=compute_dtype,
             denom_rays=denom, point_features_fn=pf,
+            reg_weight=reg_weight,
         )
         loss = jax.lax.psum(loss, axis_name)
         grads = jax.lax.psum(grads, axis_name)

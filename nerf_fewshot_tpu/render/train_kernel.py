@@ -67,10 +67,18 @@ def _objective_body(
     w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
     loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
     *, S, white_bkgd, compute_dtype, interleave=1, head_mode="mxu",
-    dw_precision=None,
+    dw_precision=None, reg_weight=0.0,
 ):
     """Shared kernel body: forward → loss partial → analytic backward → dW
     accumulation, for an already-encoded tile input ``x``.
+
+    ``reg_weight``: weight-sparsity regularizer coefficient (reference
+    NeRFLoss's third term, nerf_mlp.py:246-248: ``reg_weight·mean(w²)``,
+    masked-mean semantics matching training/losses._masked_mean — denom
+    Σmask·S, global under DP via inv_denom). 0.0 (strict reference
+    behavior's rgb-only objective) adds no ops; non-zero extends kernel
+    eligibility to the non-strict rgb+reg objective (depth L1 stays out:
+    no reference pipeline ever supplies depth targets, train.py:282-283).
 
     ``dw_precision``: optional ``jax.lax.Precision`` pin for the six dW
     accumulation dots (activationsᵀ @ deltas). Mosaic truncates f32 dot
@@ -184,6 +192,15 @@ def _objective_body(
 
         d_rgb_s = weights[..., None] * g_rgb[:, None, :]
         dLdw = jnp.sum(rgb_s * g_rgb[:, None, :], axis=2) + g_acc_scalar
+        if reg_weight:
+            # reg = r·Σ(mask·w²)/(denom_rays·S): inv_denom = 1/(3·denom),
+            # so the per-element scale is 3·r/S · inv_denom; seed
+            # dL/dw_s += 2·r·mask·w_s/(denom·S).
+            reg_scale = (3.0 * reg_weight / S) * inv_denom
+            loss_acc += (
+                jnp.sum((weights * weights) * mask) * reg_scale
+            ).reshape(1, 1)
+            dLdw = dLdw + (2.0 * reg_scale) * mask * weights
         # HIGHEST: suffix sums of signed, cancelling terms — a single-pass
         # bf16 dot (the Mosaic default) corrupts small true gradients (see
         # kernels._composite's note; sigma-head grads measured 155× off).
@@ -287,7 +304,7 @@ def _train_kernel(
     w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
     loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
     *, S, white_bkgd, compute_dtype, interleave=1, head_mode="mxu",
-    dw_precision=None,
+    dw_precision=None, reg_weight=0.0,
 ):
     _objective_body(
         x_ref[:], z_ref, dnorm_ref, tgt_ref, mask_ref, invd_ref,
@@ -295,7 +312,7 @@ def _train_kernel(
         loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
         S=S, white_bkgd=white_bkgd, compute_dtype=compute_dtype,
         interleave=interleave, head_mode=head_mode,
-        dw_precision=dw_precision,
+        dw_precision=dw_precision, reg_weight=reg_weight,
     )
 
 
@@ -305,7 +322,7 @@ def _train_pe_kernel(
     w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
     loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
     *, S, white_bkgd, compute_dtype, use_feats, x_pad, interleave=1,
-    head_mode="mxu", dw_precision=None,
+    head_mode="mxu", dw_precision=None, reg_weight=0.0,
 ):
     """Inline-PE variant: raw per-point inputs (pts[, dirs]) arrive as a thin
     (N, n_raw) block and the positional encoding is built in VMEM — the
@@ -332,7 +349,7 @@ def _train_pe_kernel(
         loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
         S=S, white_bkgd=white_bkgd, compute_dtype=compute_dtype,
         interleave=interleave, head_mode=head_mode,
-        dw_precision=dw_precision,
+        dw_precision=dw_precision, reg_weight=reg_weight,
     )
 
 
@@ -359,7 +376,8 @@ def _to_vpu_head(wout, bout):
 
 def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
                    packed, white_bkgd, interpret, compute_dtype, use_feats,
-                   interleave=1, head_mode="mxu", dw_precision=None):
+                   interleave=1, head_mode="mxu", dw_precision=None,
+                   reg_weight=0.0):
     w0, b0, wh, bh, wout, bout = packed
     R, S = z.shape
     N, n_raw = raw.shape
@@ -388,7 +406,7 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
         _train_pe_kernel, S=S, white_bkgd=white_bkgd,
         compute_dtype=compute_dtype, use_feats=use_feats, x_pad=D,
         interleave=interleave, head_mode=head_mode,
-        dw_precision=dw_precision,
+        dw_precision=dw_precision, reg_weight=reg_weight,
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -446,7 +464,7 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
 
 def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
                 interpret, compute_dtype, interleave=1, head_mode="mxu",
-                dw_precision=None):
+                dw_precision=None, reg_weight=0.0):
     w0, b0, wh, bh, wout, bout = packed
     R, S = z.shape
     H = w0.shape[1]
@@ -475,6 +493,7 @@ def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
         _train_kernel, S=S, white_bkgd=white_bkgd,
         compute_dtype=compute_dtype, interleave=interleave,
         head_mode=head_mode, dw_precision=dw_precision,
+        reg_weight=reg_weight,
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -546,6 +565,7 @@ def fused_train_loss_grad(
     interleave: Optional[int] = None,
     head_mode: Optional[str] = None,
     dw_precision=None,
+    reg_weight: float = 0.0,
 ) -> Tuple[jnp.ndarray, dict]:
     """(masked-MSE loss, param-gradient tree) in one fused kernel pass.
 
@@ -656,7 +676,7 @@ def fused_train_loss_grad(
             jnp.asarray(e2), jnp.asarray(c), packed, settings.white_bkgd,
             interpret, compute_dtype, use_feats=dino is not None,
             interleave=interleave, head_mode=head_mode,
-            dw_precision=dw_precision,
+            dw_precision=dw_precision, reg_weight=reg_weight,
         )
         grads = pack_vjp(dpacked)[0]
         return loss, grads
@@ -668,6 +688,7 @@ def fused_train_loss_grad(
         x, z, dnorm, target, mask[:, None], inv_denom, packed,
         settings.white_bkgd, interpret, compute_dtype, interleave=interleave,
         head_mode=head_mode, dw_precision=dw_precision,
+        reg_weight=reg_weight,
     )
     grads = pack_vjp(dpacked)[0]
     return loss, grads

@@ -401,8 +401,12 @@ class Trainer:
             )
             return losses["total"], losses
 
-        # Single-pass fused objective kernel: eligible when the loss is the
-        # strict-reference rgb MSE. Under a device mesh it dispatches through
+        # Single-pass fused objective kernel: eligible for the
+        # strict-reference rgb MSE AND (round 5) the non-strict rgb + w²-reg
+        # objective, which the kernel computes in-pass (reg_weight below;
+        # depth L1 never activates — the pipeline has no depth targets,
+        # reference train.py:282-283, so rgb+reg IS the full non-strict
+        # loss). Under a device mesh it dispatches through
         # parallel/fused_dp's shard_map wrapper (jit sharding annotations
         # cannot partition a pallas_call): each device runs the kernel on its
         # ray shard, loss/grads psum over ICI against the *global* valid-ray
@@ -410,7 +414,8 @@ class Trainer:
         # map + pose enter shard_map as replicated operands and the feature
         # sampler runs as an XLA prologue on each device's local ray shard
         # (reference hot loop: train.py:210-221).
-        use_train_kernel = self._kernel_eligible() and rgb_only
+        use_train_kernel = self._kernel_eligible()
+        kernel_reg_weight = 0.0 if rgb_only else float(cfg.loss.reg_weight)
         interpret = FORCE_INTERPRET_KERNELS
         dp_kernel_fn = None
         if use_train_kernel and self.mesh is not None:
@@ -431,6 +436,7 @@ class Trainer:
                 point_features_builder=(
                     self.feature_sampler if use_dino else None
                 ),
+                reg_weight=kernel_reg_weight,
             )
 
         def loss_and_grad(params, key, ro, rd, tgt, mask, feat_map, feat_pose):
@@ -458,6 +464,7 @@ class Trainer:
                     key=key, point_features_fn=pf,
                     interpret=interpret,
                     compute_dtype=cfg.rendering.compute_dtype,
+                    reg_weight=kernel_reg_weight,
                 )
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, key, ro, rd, tgt, mask, feat_map, feat_pose

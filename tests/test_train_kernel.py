@@ -385,3 +385,60 @@ def test_compute_dtype_highest_interpret_bit_equal():
     a = jax.flatten_util.ravel_pytree(g1)[0]
     b = jax.flatten_util.ravel_pytree(g2)[0]
     assert float(jnp.max(jnp.abs(a - b))) == 0.0
+
+
+def test_fused_objective_with_reg_matches_autodiff():
+    """In-kernel w²-regularizer (round 5: extends kernel eligibility to the
+    non-strict rgb+reg objective): loss and ALL parameter gradients must
+    match XLA autodiff of training/losses.nerf_loss's rgb+regularization
+    terms with masked-mean semantics, incl. a padded (masked-out) tail."""
+    import jax.flatten_util
+
+    from nerf_fewshot_tpu.training.config import LossConfig
+    from nerf_fewshot_tpu.training.losses import nerf_loss
+
+    REG = 0.01
+    model = NeRFMLP(pos_freq=10, dir_freq=4, use_viewdirs=True,
+                    hidden_dim=128, num_layers=3, sigma_bias_init=0.1)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )["params"]
+    rng = np.random.default_rng(4)
+    R, S = 64, 16
+    ro = jnp.asarray(rng.standard_normal((R, 3)).astype(np.float32))
+    rd = jnp.asarray(rng.standard_normal((R, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(0, 1, (R, 3)).astype(np.float32))
+    mask = jnp.asarray((np.arange(R) < 50).astype(np.float32))  # padded tail
+    settings = RenderSettings(near=2.0, far=6.0, n_samples=S, perturb=False)
+
+    loss_k, grads_k = fused_train_loss_grad(
+        params, ro, rd, tgt, mask, settings, 10, 4, 3, 128,
+        interpret=True, reg_weight=REG,
+    )
+
+    def loss_fn(p):
+        def model_fn(pts, dirs, dino):
+            return model.apply({"params": p}, pts, dirs)
+
+        out = render_rays(model_fn, ro, rd, settings, key=None)
+        losses = nerf_loss(
+            out.rgb, tgt, LossConfig(rgb_weight=1.0, depth_weight=0.0,
+                                     reg_weight=REG),
+            weights=out.weights, mask=mask,
+        )
+        return losses["total"]
+
+    loss_x, grads_x = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_k), float(loss_x), rtol=1e-5)
+    a = np.asarray(jax.flatten_util.ravel_pytree(grads_k)[0], np.float64)
+    b = np.asarray(jax.flatten_util.ravel_pytree(grads_x)[0], np.float64)
+    rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+    # same noise floor as the rgb-only interpret parity (PE float
+    # association; the per-leaf gates above use rtol 2e-3)
+    assert rel < 1e-4, rel
+    # the reg term is actually live (gradients differ from the rgb-only run)
+    _, grads_k0 = fused_train_loss_grad(
+        params, ro, rd, tgt, mask, settings, 10, 4, 3, 128, interpret=True,
+    )
+    a0 = np.asarray(jax.flatten_util.ravel_pytree(grads_k0)[0], np.float64)
+    assert np.linalg.norm(a - a0) / np.linalg.norm(a) > 1e-4
