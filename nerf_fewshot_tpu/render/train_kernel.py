@@ -195,11 +195,13 @@ def _objective_body(
         if reg_weight:
             # reg = r·Σ(mask·w²)/(denom_rays·S): inv_denom = 1/(3·denom),
             # so the per-element scale is 3·r/S · inv_denom; seed
-            # dL/dw_s += 2·r·mask·w_s/(denom·S).
+            # dL/dw_s += 2·r·mask·w_s/(denom·S). Reduce lane-axis first to
+            # (Rc, 1), then the thin sum — Mosaic rejects the fused 2D
+            # multi_reduction's offset layout on real hardware (interpret
+            # mode is blind to the restriction).
             reg_scale = (3.0 * reg_weight / S) * inv_denom
-            loss_acc += (
-                jnp.sum((weights * weights) * mask) * reg_scale
-            ).reshape(1, 1)
+            wsq = jnp.sum(weights * weights, axis=1, keepdims=True)  # (Rc,1)
+            loss_acc += (jnp.sum(wsq * mask) * reg_scale).reshape(1, 1)
             dLdw = dLdw + (2.0 * reg_scale) * mask * weights
         # HIGHEST: suffix sums of signed, cancelling terms — a single-pass
         # bf16 dot (the Mosaic default) corrupts small true gradients (see
