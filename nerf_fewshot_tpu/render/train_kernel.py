@@ -67,18 +67,21 @@ def _objective_body(
     w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
     loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
     *, S, white_bkgd, compute_dtype, interleave=1, head_mode="mxu",
-    dw_precision=None, reg_weight=0.0,
+    dw_precision=None, reg_weight=0.0, tgtd_ref=None, depth_weight=0.0,
 ):
     """Shared kernel body: forward → loss partial → analytic backward → dW
     accumulation, for an already-encoded tile input ``x``.
 
-    ``reg_weight``: weight-sparsity regularizer coefficient (reference
-    NeRFLoss's third term, nerf_mlp.py:246-248: ``reg_weight·mean(w²)``,
-    masked-mean semantics matching training/losses._masked_mean — denom
-    Σmask·S, global under DP via inv_denom). 0.0 (strict reference
-    behavior's rgb-only objective) adds no ops; non-zero extends kernel
-    eligibility to the non-strict rgb+reg objective (depth L1 stays out:
-    no reference pipeline ever supplies depth targets, train.py:282-283).
+    ``reg_weight`` / ``depth_weight`` + ``tgtd_ref``: the reference
+    NeRFLoss's second and third terms (nerf_mlp.py:240-248) computed
+    in-pass — ``depth_weight·masked_mean(|Σw·z − tgtd|)`` and
+    ``reg_weight·masked_mean(w²)`` with training/losses._masked_mean
+    denominators (global under DP via inv_denom), so the kernel covers the
+    COMPLETE loss. Both default off (strict reference behavior's rgb-only
+    objective compiles to the identical kernel); depth additionally needs
+    the per-ray target operand (no reference pipeline supplies depth
+    targets, train.py:282-283 — the term exists for API completeness and
+    depth-supervised extensions).
 
     ``dw_precision``: optional ``jax.lax.Precision`` pin for the six dW
     accumulation dots (activationsᵀ @ deltas). Mosaic truncates f32 dot
@@ -163,6 +166,7 @@ def _objective_body(
     dnorm = dnorm_ref[:]
     tgt = tgt_ref[:]
     mask_all = mask_ref[:]  # (R, 1)
+    tgtd_all = tgtd_ref[:] if tgtd_ref is not None else None  # (R, 1)
     inv_denom = invd_ref[0, 0]
     loss_acc = jnp.zeros((1, 1), z.dtype)
     g_outs = []
@@ -203,6 +207,18 @@ def _objective_body(
             wsq = jnp.sum(weights * weights, axis=1, keepdims=True)  # (Rc,1)
             loss_acc += (jnp.sum(wsq * mask) * reg_scale).reshape(1, 1)
             dLdw = dLdw + (2.0 * reg_scale) * mask * weights
+        if tgtd_ref is not None:
+            # depth L1 (reference NeRFLoss second term, nerf_mlp.py:240-242):
+            # depth_r = Σ w_s·z_s; loss += d·Σ mask·|depth − tgtd| / denom;
+            # masked-mean denom over (R,) is Σmask, so the scale is
+            # 3·d·inv_denom. Seed: dL/dw_s += 3·d·inv_denom·mask·sign·z_s.
+            tgtd = tgtd_all if K == 1 else tgtd_all[rows]
+            depth_map = jnp.sum(weights * zk, axis=1, keepdims=True)  # (Rc,1)
+            diff = depth_map - tgtd
+            d_scale = 3.0 * depth_weight * inv_denom
+            loss_acc += (jnp.sum(jnp.abs(diff) * mask) * d_scale).reshape(
+                1, 1)
+            dLdw = dLdw + (d_scale * jnp.sign(diff) * mask) * zk
         # HIGHEST: suffix sums of signed, cancelling terms — a single-pass
         # bf16 dot (the Mosaic default) corrupts small true gradients (see
         # kernels._composite's note; sigma-head grads measured 155× off).
@@ -304,10 +320,15 @@ def _objective_body(
 def _train_kernel(
     x_ref, z_ref, dnorm_ref, tgt_ref, mask_ref, invd_ref,
     w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
-    loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
-    *, S, white_bkgd, compute_dtype, interleave=1, head_mode="mxu",
-    dw_precision=None, reg_weight=0.0,
+    *rest,
+    S, white_bkgd, compute_dtype, interleave=1, head_mode="mxu",
+    dw_precision=None, reg_weight=0.0, depth_weight=0.0, use_depth=False,
 ):
+    # optional depth-target operand precedes the outputs (static use_depth)
+    tgtd_ref = rest[0] if use_depth else None
+    outs = rest[1:] if use_depth else rest
+    (loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref,
+     dbout_ref) = outs
     _objective_body(
         x_ref[:], z_ref, dnorm_ref, tgt_ref, mask_ref, invd_ref,
         w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
@@ -315,6 +336,7 @@ def _train_kernel(
         S=S, white_bkgd=white_bkgd, compute_dtype=compute_dtype,
         interleave=interleave, head_mode=head_mode,
         dw_precision=dw_precision, reg_weight=reg_weight,
+        tgtd_ref=tgtd_ref, depth_weight=depth_weight,
     )
 
 
@@ -322,10 +344,14 @@ def _train_pe_kernel(
     raw_ref, feats_ref, z_ref, dnorm_ref, tgt_ref, mask_ref, invd_ref,
     e2_ref, c_ref,
     w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
-    loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
-    *, S, white_bkgd, compute_dtype, use_feats, x_pad, interleave=1,
-    head_mode="mxu", dw_precision=None, reg_weight=0.0,
+    *rest,
+    S, white_bkgd, compute_dtype, use_feats, x_pad, interleave=1,
+    head_mode="mxu", dw_precision=None, reg_weight=0.0, depth_weight=0.0,
+    use_depth=False,
 ):
+    tgtd_ref = rest[0] if use_depth else None
+    (loss_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref,
+     dbout_ref) = rest[1:] if use_depth else rest
     """Inline-PE variant: raw per-point inputs (pts[, dirs]) arrive as a thin
     (N, n_raw) block and the positional encoding is built in VMEM — the
     phase matrix is one MXU matmul (sin and cos columns share it via a π/2
@@ -352,6 +378,7 @@ def _train_pe_kernel(
         S=S, white_bkgd=white_bkgd, compute_dtype=compute_dtype,
         interleave=interleave, head_mode=head_mode,
         dw_precision=dw_precision, reg_weight=reg_weight,
+        tgtd_ref=tgtd_ref, depth_weight=depth_weight,
     )
 
 
@@ -379,7 +406,7 @@ def _to_vpu_head(wout, bout):
 def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
                    packed, white_bkgd, interpret, compute_dtype, use_feats,
                    interleave=1, head_mode="mxu", dw_precision=None,
-                   reg_weight=0.0):
+                   reg_weight=0.0, depth_weight=0.0, tgt_depth=None):
     w0, b0, wh, bh, wout, bout = packed
     R, S = z.shape
     N, n_raw = raw.shape
@@ -404,11 +431,13 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
     n_phase = e2.shape[1]
     Fd = feats.shape[1]
 
+    use_depth = tgt_depth is not None
     kernel = functools.partial(
         _train_pe_kernel, S=S, white_bkgd=white_bkgd,
         compute_dtype=compute_dtype, use_feats=use_feats, x_pad=D,
         interleave=interleave, head_mode=head_mode,
         dw_precision=dw_precision, reg_weight=reg_weight,
+        depth_weight=depth_weight, use_depth=use_depth,
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -434,7 +463,8 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
             full((L1, H)),
             full(wout.shape),
             full(bout.shape),
-        ],
+        ] + ([pl.BlockSpec((R_T, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)] if use_depth else []),
         out_specs=[
             full((1, 1)),
             full((D, H)),
@@ -445,6 +475,10 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
             full(bout.shape),
         ],
     )
+    operands = (raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
+                w0, b0, wh, bh, wout, bout)
+    if use_depth:
+        operands = operands + (tgt_depth,)
     loss, dw0, db0, dwh, dbh, dwout, dbout = pl.pallas_call(
         kernel,
         out_shape=[
@@ -459,14 +493,14 @@ def _train_pe_call(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
         grid_spec=grid_spec,
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(raw, feats, z, dnorm, tgt, mask, inv_denom, e2, c,
-      w0, b0, wh, bh, wout, bout)
+    )(*operands)
     return loss[0, 0], (dw0, db0, dwh, dbh, dwout, dbout)
 
 
 def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
                 interpret, compute_dtype, interleave=1, head_mode="mxu",
-                dw_precision=None, reg_weight=0.0):
+                dw_precision=None, reg_weight=0.0, depth_weight=0.0,
+                tgt_depth=None):
     w0, b0, wh, bh, wout, bout = packed
     R, S = z.shape
     H = w0.shape[1]
@@ -491,11 +525,13 @@ def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
         interleave //= 2
     n_tiles = R // R_T
 
+    use_depth = tgt_depth is not None
     kernel = functools.partial(
         _train_kernel, S=S, white_bkgd=white_bkgd,
         compute_dtype=compute_dtype, interleave=interleave,
         head_mode=head_mode, dw_precision=dw_precision,
-        reg_weight=reg_weight,
+        reg_weight=reg_weight, depth_weight=depth_weight,
+        use_depth=use_depth,
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -516,7 +552,8 @@ def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
             full((L1, H)),
             full(wout.shape),
             full(bout.shape),
-        ],
+        ] + ([pl.BlockSpec((R_T, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)] if use_depth else []),
         out_specs=[
             full((1, 1)),
             full((D, H)),
@@ -527,6 +564,10 @@ def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
             full(bout.shape),
         ],
     )
+    operands = (x, z, dnorm, tgt, mask, inv_denom, w0, b0, wh, bh, wout,
+                bout)
+    if use_depth:
+        operands = operands + (tgt_depth,)
     loss, dw0, db0, dwh, dbh, dwout, dbout = pl.pallas_call(
         kernel,
         out_shape=[
@@ -541,7 +582,7 @@ def _train_call(x, z, dnorm, tgt, mask, inv_denom, packed, white_bkgd,
         grid_spec=grid_spec,
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(x, z, dnorm, tgt, mask, inv_denom, w0, b0, wh, bh, wout, bout)
+    )(*operands)
     return loss[0, 0], (dw0, db0, dwh, dbh, dwout, dbout)
 
 
@@ -568,6 +609,8 @@ def fused_train_loss_grad(
     head_mode: Optional[str] = None,
     dw_precision=None,
     reg_weight: float = 0.0,
+    depth_weight: float = 0.0,
+    target_depth: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """(masked-MSE loss, param-gradient tree) in one fused kernel pass.
 
@@ -589,6 +632,13 @@ def fused_train_loss_grad(
     assert settings.noise_std == 0.0
     if isinstance(dw_precision, str):
         dw_precision = jax.lax.Precision(dw_precision)
+    # depth L1 term (reference NeRFLoss, nerf_mlp.py:240-242): active only
+    # when BOTH a weight and per-ray target depths are given
+    tgt_depth = None
+    if depth_weight > 0.0 and target_depth is not None:
+        tgt_depth = target_depth.reshape(-1, 1)
+    else:
+        depth_weight = 0.0
     if interleave is None:
         interleave = TRAIN_INTERLEAVE
     if head_mode is None:
@@ -679,6 +729,7 @@ def fused_train_loss_grad(
             interpret, compute_dtype, use_feats=dino is not None,
             interleave=interleave, head_mode=head_mode,
             dw_precision=dw_precision, reg_weight=reg_weight,
+            depth_weight=depth_weight, tgt_depth=tgt_depth,
         )
         grads = pack_vjp(dpacked)[0]
         return loss, grads
@@ -690,7 +741,8 @@ def fused_train_loss_grad(
         x, z, dnorm, target, mask[:, None], inv_denom, packed,
         settings.white_bkgd, interpret, compute_dtype, interleave=interleave,
         head_mode=head_mode, dw_precision=dw_precision,
-        reg_weight=reg_weight,
+        reg_weight=reg_weight, depth_weight=depth_weight,
+        tgt_depth=tgt_depth,
     )
     grads = pack_vjp(dpacked)[0]
     return loss, grads

@@ -442,3 +442,63 @@ def test_fused_objective_with_reg_matches_autodiff():
     )
     a0 = np.asarray(jax.flatten_util.ravel_pytree(grads_k0)[0], np.float64)
     assert np.linalg.norm(a - a0) / np.linalg.norm(a) > 1e-4
+
+
+def test_fused_objective_full_nerf_loss_matches_autodiff():
+    """The COMPLETE reference NeRFLoss in one kernel pass (round 5): rgb MSE
+    + depth L1 + w²-reg with masked-mean semantics, loss and all parameter
+    gradients vs XLA autodiff of training/losses.nerf_loss."""
+    import jax.flatten_util
+
+    from nerf_fewshot_tpu.training.config import LossConfig
+    from nerf_fewshot_tpu.training.losses import nerf_loss
+
+    DW, RW = 0.1, 0.01
+    model = NeRFMLP(pos_freq=10, dir_freq=4, use_viewdirs=True,
+                    hidden_dim=128, num_layers=3, sigma_bias_init=0.1)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )["params"]
+    rng = np.random.default_rng(6)
+    R, S = 64, 16
+    ro = jnp.asarray(rng.standard_normal((R, 3)).astype(np.float32))
+    rd = jnp.asarray(rng.standard_normal((R, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(0, 1, (R, 3)).astype(np.float32))
+    tgt_d = jnp.asarray(rng.uniform(2.5, 5.5, (R,)).astype(np.float32))
+    mask = jnp.asarray((np.arange(R) < 50).astype(np.float32))
+    settings = RenderSettings(near=2.0, far=6.0, n_samples=S, perturb=False)
+
+    loss_k, grads_k = fused_train_loss_grad(
+        params, ro, rd, tgt, mask, settings, 10, 4, 3, 128,
+        interpret=True, reg_weight=RW, depth_weight=DW, target_depth=tgt_d,
+    )
+
+    def loss_fn(p):
+        def model_fn(pts, dirs, dino):
+            return model.apply({"params": p}, pts, dirs)
+
+        out = render_rays(model_fn, ro, rd, settings, key=None)
+        losses = nerf_loss(
+            out.rgb, tgt, LossConfig(rgb_weight=1.0, depth_weight=DW,
+                                     reg_weight=RW),
+            pred_depth=out.depth, target_depth=tgt_d,
+            weights=out.weights, mask=mask,
+        )
+        return losses["total"]
+
+    loss_x, grads_x = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_k), float(loss_x), rtol=1e-5)
+    a = np.asarray(jax.flatten_util.ravel_pytree(grads_k)[0], np.float64)
+    b = np.asarray(jax.flatten_util.ravel_pytree(grads_x)[0], np.float64)
+    rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+    # the rgb-only kernel-vs-pipeline baseline at this seed is already
+    # ~6e-4 (f64 control: 2.4e-6 for rgb-only AND full loss alike — the
+    # depth/reg terms add no error; suite-wide per-leaf gates are 2e-3)
+    assert rel < 1e-3, rel
+    # all three terms are live: dropping depth changes the gradients
+    _, grads_nd = fused_train_loss_grad(
+        params, ro, rd, tgt, mask, settings, 10, 4, 3, 128,
+        interpret=True, reg_weight=RW,
+    )
+    c = np.asarray(jax.flatten_util.ravel_pytree(grads_nd)[0], np.float64)
+    assert np.linalg.norm(a - c) / np.linalg.norm(a) > 1e-3
